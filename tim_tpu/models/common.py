@@ -1,0 +1,83 @@
+"""Shared flax building blocks and torch-compatible initializers.
+
+Initializer choices replicate the *distributions* torch uses so that
+training-from-scratch dynamics match the reference recipe; exact-value
+parity with released checkpoints comes from the converter
+(``tim_tpu/convert/torch_import.py``), not from init.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+# torch.nn.Linear default: kaiming_uniform(a=sqrt(5)) == U(+-sqrt(1/fan_in)).
+torch_linear_kernel_init = nn.initializers.variance_scaling(
+    1.0 / 3.0, "fan_in", "uniform"
+)
+
+
+def torch_linear_bias_init(key, shape, dtype=jnp.float32, fan_in=None):
+    # torch Linear bias: U(+-1/sqrt(fan_in)). Flax passes only the bias shape,
+    # so the caller binds fan_in via functools.partial where it matters; the
+    # zero fallback is harmless for LayerNorm'd stacks.
+    if fan_in is None:
+        return jnp.zeros(shape, dtype)
+    bound = 1.0 / jnp.sqrt(jnp.asarray(fan_in, jnp.float32))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+xavier_uniform = nn.initializers.xavier_uniform()
+cls_token_init = nn.initializers.normal(stddev=0.01)
+
+
+def exact_gelu(x):
+    """erf-based GELU. torch ``F.gelu`` defaults to the exact form while
+    ``jax.nn.gelu`` defaults to tanh-approximate — parity requires exact."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+class TorchLinear(nn.Module):
+    """Dense layer with torch-default init (kaiming-uniform kernel,
+    U(+-1/sqrt(fan_in)) bias)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        fan_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", torch_linear_kernel_init, (fan_in, self.features),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias",
+            lambda key, shape: torch_linear_bias_init(
+                key, shape, fan_in=fan_in),
+            (self.features,),
+        )
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
+                    preferred_element_type=jnp.float32)
+        return (y + bias.astype(jnp.float32)).astype(self.dtype)
+
+
+class MLP(nn.Module):
+    """Stack of TorchLinear+ReLU used by time_mlp / drloc / reg heads."""
+
+    hidden: tuple
+    dtype: jnp.dtype = jnp.float32
+    final_activation: str = "none"   # none | relu | sigmoid
+
+    @nn.compact
+    def __call__(self, x):
+        for i, h in enumerate(self.hidden):
+            x = TorchLinear(h, dtype=self.dtype, name=f"fc{i}")(x)
+            if i < len(self.hidden) - 1:
+                x = nn.relu(x)
+        if self.final_activation == "relu":
+            x = nn.relu(x)
+        elif self.final_activation == "sigmoid":
+            x = nn.sigmoid(x)
+        return x

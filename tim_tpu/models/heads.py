@@ -1,0 +1,126 @@
+"""Classification and regression heads.
+
+Recognition heads slice per-task CLS tokens off the sequence tail in order
+verb -> noun -> action -> audio (``recognition/.../helpers/head.py:4-81``).
+Detection heads share the visual query tokens across verb/noun/action
+linears and add sigmoid interval-regression MLPs with focal-init bias
+(``detection/.../helpers/head.py:7-163``).
+
+Outputs keep the [B, Nq, C] shape (the reference flattens to [B*Nq, C];
+flattening happens in the loss)."""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from tim_tpu.models.common import MLP, TorchLinear, torch_linear_kernel_init
+
+FOCAL_BIAS = -math.log((1 - 0.01) / 0.01)
+
+
+def _focal_linear(features: int, dtype, name: str):
+    """Linear whose bias starts at the RetinaNet prior
+    (``detection/.../head.py:12-25``)."""
+    return nn.Dense(
+        features, dtype=dtype, param_dtype=jnp.float32,
+        kernel_init=torch_linear_kernel_init,
+        bias_init=nn.initializers.constant(FOCAL_BIAS), name=name,
+    )
+
+
+class RecognitionClsHead(nn.Module):
+    """Per-task linears over tail-sliced CLS tokens.
+
+    visual_classes: (verb, noun, action) or (action,).
+    audio_classes: int or None (no audio head).
+    """
+
+    visual_classes: Optional[Tuple[int, ...]]
+    audio_classes: Optional[int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, num_v_queries: int, num_a_queries: int):
+        s = x.shape[1]
+        include_vn = (self.visual_classes is not None
+                      and len(self.visual_classes) == 3)
+        aud_start = s - num_a_queries if num_a_queries > 0 else s
+        act_start = aud_start - num_v_queries
+
+        verb = noun = action = audio = None
+        if self.visual_classes is not None and num_v_queries > 0:
+            if include_vn:
+                noun_start = act_start - num_v_queries
+                verb_start = noun_start - num_v_queries
+                verb = TorchLinear(self.visual_classes[0], dtype=self.dtype,
+                                   name="fc_verb")(x[:, verb_start:noun_start])
+                noun = TorchLinear(self.visual_classes[1], dtype=self.dtype,
+                                   name="fc_noun")(x[:, noun_start:act_start])
+            action = TorchLinear(self.visual_classes[-1], dtype=self.dtype,
+                                 name="fc_action")(x[:, act_start:aud_start])
+        if self.audio_classes is not None and num_a_queries > 0:
+            audio = TorchLinear(self.audio_classes, dtype=self.dtype,
+                                name="fc_audio")(x[:, aud_start:])
+        return verb, noun, action, audio
+
+
+class DetectionClsHead(nn.Module):
+    """Shared-query detection classifier with focal bias init."""
+
+    visual_classes: Optional[Tuple[int, ...]]
+    audio_classes: Optional[int]
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, num_v_queries: int, num_a_queries: int):
+        s = x.shape[1]
+        aud_start = s - num_a_queries if num_a_queries > 0 else s
+        vis_start = aud_start - num_v_queries
+
+        verb = noun = action = audio = None
+        if self.visual_classes is not None and num_v_queries > 0:
+            vx = x[:, vis_start:aud_start]
+            include_vn = len(self.visual_classes) == 3
+            if include_vn:
+                verb = _focal_linear(self.visual_classes[0], self.dtype,
+                                     "fc_verb")(vx)
+                noun = _focal_linear(self.visual_classes[1], self.dtype,
+                                     "fc_noun")(vx)
+            action = _focal_linear(self.visual_classes[-1], self.dtype,
+                                   "fc_action")(vx)
+        if self.audio_classes is not None and num_a_queries > 0:
+            audio = _focal_linear(self.audio_classes, self.dtype,
+                                  "fc_audio")(x[:, aud_start:])
+        return verb, noun, action, audio
+
+
+class DetectionRegHead(nn.Module):
+    """Per-modality 3-layer sigmoid MLP -> normalized [start, end]
+    (``detection/.../head.py:95-163``)."""
+
+    has_visual: bool
+    has_audio: bool
+    d_model: int       # encoder width (2 * d_model of config)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, num_v_queries: int, num_a_queries: int):
+        s = x.shape[1]
+        aud_start = s - num_a_queries if num_a_queries > 0 else s
+        vis_start = aud_start - num_v_queries
+
+        def reg_mlp(name):
+            return MLP((self.d_model // 2, self.d_model // 2, 2),
+                       dtype=self.dtype, final_activation="sigmoid",
+                       name=name)
+
+        v_reg = a_reg = None
+        if self.has_visual and num_v_queries > 0:
+            v_reg = reg_mlp("reg_visual")(x[:, vis_start:aud_start])
+        if self.has_audio and num_a_queries > 0:
+            a_reg = reg_mlp("reg_audio")(x[:, aud_start:])
+        return v_reg, a_reg

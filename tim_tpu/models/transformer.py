@@ -1,0 +1,110 @@
+"""Post-norm transformer encoder with structured TIM attention.
+
+Functionally equivalent to the reference's fork of torch's
+``nn.TransformerEncoder{,Layer}``
+(``recognition/.../models/helpers/transformers.py:13-111``): post-norm
+residual blocks, GELU feed-forward, dropout on attention weights and both
+residual branches. The attention itself uses the exact structured kernel
+(``tim_tpu/ops/attention.py``) instead of a dense [S, S] mask.
+
+Layout is batch-first [B, S, C] throughout (the reference shuttles
+[S, B, C] for torch MHA; irrelevant under XLA).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from tim_tpu.models.common import TorchLinear, exact_gelu, xavier_uniform
+from tim_tpu.ops.attention import tim_attention
+
+
+class SelfAttention(nn.Module):
+    """Multi-head self-attention with the TIM context/self mask structure.
+
+    Parameters are stored as separate q/k/v/out projections; the torch
+    checkpoint converter splits torch's packed ``in_proj_weight`` into these
+    (torch MHA packs qkv: ``nn.MultiheadAttention`` internals).
+    """
+
+    d_model: int
+    nhead: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, num_ctx: int, *, deterministic: bool = True):
+        b, s, c = x.shape
+        dh = self.d_model // self.nhead
+
+        def proj(name):
+            return nn.Dense(
+                self.d_model, dtype=self.dtype, param_dtype=jnp.float32,
+                kernel_init=xavier_uniform, name=name,
+            )
+
+        q = proj("q")(x).reshape(b, s, self.nhead, dh).transpose(0, 2, 1, 3)
+        k = proj("k")(x).reshape(b, s, self.nhead, dh).transpose(0, 2, 1, 3)
+        v = proj("v")(x).reshape(b, s, self.nhead, dh).transpose(0, 2, 1, 3)
+
+        if not deterministic and self.dropout > 0.0:
+            rng = self.make_rng("dropout")
+        else:
+            rng = None
+        out = tim_attention(
+            q, k, v, num_ctx,
+            dropout_rate=self.dropout, dropout_rng=rng,
+            deterministic=deterministic,
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, self.d_model)
+        return proj("out")(out)
+
+
+class EncoderLayer(nn.Module):
+    """Post-norm block: x = LN(x + drop(attn(x))); x = LN(x + drop(ff(x)))."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, num_ctx: int, *, deterministic: bool = True):
+        attn = SelfAttention(
+            self.d_model, self.nhead, self.dropout, self.dtype,
+            name="self_attn",
+        )(x, num_ctx, deterministic=deterministic)
+        x = x + nn.Dropout(self.dropout, deterministic=deterministic)(attn)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
+        x = x.astype(self.dtype)
+
+        h = TorchLinear(self.dim_feedforward, dtype=self.dtype,
+                        name="linear1")(x)
+        h = exact_gelu(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = TorchLinear(self.d_model, dtype=self.dtype, name="linear2")(h)
+        x = x + nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
+        return x.astype(self.dtype)
+
+
+class Encoder(nn.Module):
+    """Stack of ``num_layers`` post-norm encoder layers."""
+
+    d_model: int
+    nhead: int
+    dim_feedforward: int
+    num_layers: int
+    dropout: float = 0.1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, num_ctx: int, *, deterministic: bool = True):
+        for i in range(self.num_layers):
+            x = EncoderLayer(
+                self.d_model, self.nhead, self.dim_feedforward,
+                self.dropout, self.dtype, name=f"layer{i}",
+            )(x, num_ctx, deterministic=deterministic)
+        return x

@@ -1,0 +1,151 @@
+"""TIM attention, TPU-first.
+
+The reference builds a dense [S, S] boolean mask in which every token may
+attend to (a) all context tokens and (b) itself, then runs a full dense
+multi-head attention over it (``recognition/.../models/tim.py:161-168``,
+``detection/.../models/tim.py:320-327``). For detection inference the
+sequence is ~100 context + ~800-1600 query tokens, so >90% of the S x S
+score matrix is masked out yet still computed.
+
+Here we exploit the structure instead of masking it:
+
+- context tokens (first ``num_ctx``) run dense self-attention over context
+  only — an [F, F] block;
+- query tokens attend to the F context keys plus exactly one extra key:
+  themselves. That is an [Nq, F] cross-attention plus a per-row "self"
+  score, i.e. softmax over F+1 logits per query.
+
+This is mathematically *exact* w.r.t. the reference mask — verified against
+``dense_masked_attention`` in tests — and reduces attention FLOPs/HBM
+traffic from O((F+Nq)^2) to O(F^2 + Nq*F): ~17x fewer score FLOPs for the
+EPIC detection config. Both blocks are clean batched matmuls that XLA tiles
+straight onto the MXU; no gather/scatter, no dynamic shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def tim_attention_mask(seq_len: int, num_ctx: int) -> jnp.ndarray:
+    """Boolean [S, S] mask, True = *allowed*. Context columns + diagonal.
+
+    Semantics of ``masks[:, :num_feats]=0; fill_diagonal_(0)`` in the
+    reference (where True = disallowed) — inverted here to additive-mask
+    friendly "True = attend".
+    """
+    allowed = jnp.zeros((seq_len, seq_len), dtype=bool)
+    allowed = allowed.at[:, :num_ctx].set(True)
+    allowed = allowed | jnp.eye(seq_len, dtype=bool)
+    return allowed
+
+
+def _attn_dropout(rng, weights, rate: float, deterministic: bool):
+    """Dropout on post-softmax attention weights (torch MHA placement)."""
+    if deterministic or rate == 0.0:
+        return weights
+    keep = jax.random.bernoulli(rng, 1.0 - rate, weights.shape)
+    return jnp.where(keep, weights / (1.0 - rate), jnp.zeros_like(weights))
+
+
+def tim_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_ctx: int,
+    *,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jnp.ndarray:
+    """Structured TIM attention.
+
+    Args:
+      q, k, v: [B, H, S, Dh]; the first ``num_ctx`` positions are context
+        tokens, the rest are query (CLS) tokens.
+      num_ctx: static number of context tokens.
+
+    Returns: [B, H, S, Dh].
+    """
+    orig_dtype = q.dtype
+    s = q.shape[2]
+    dh = q.shape[3]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(dh, jnp.float32)).astype(orig_dtype)
+    q = q * scale
+
+    qc, qq = q[:, :, :num_ctx], q[:, :, num_ctx:]
+    kc, kq = k[:, :, :num_ctx], k[:, :, num_ctx:]
+    vc, vq = v[:, :, :num_ctx], v[:, :, num_ctx:]
+
+    if dropout_rng is not None and not deterministic and dropout_rate > 0.0:
+        rng_c, rng_q = jax.random.split(dropout_rng)
+    else:
+        rng_c = rng_q = None
+
+    # --- context block: dense self-attention over context tokens ----------
+    ctx_scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", qc, kc, preferred_element_type=jnp.float32
+    )
+    ctx_w = jax.nn.softmax(ctx_scores, axis=-1)
+    ctx_w = _attn_dropout(rng_c, ctx_w, dropout_rate, deterministic)
+    ctx_out = jnp.einsum(
+        "bhqk,bhkd->bhqd", ctx_w.astype(orig_dtype), vc,
+        preferred_element_type=jnp.float32,
+    ).astype(orig_dtype)
+
+    if s == num_ctx:
+        return ctx_out
+
+    # --- query block: cross-attention to context + self -------------------
+    qry_scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", qq, kc, preferred_element_type=jnp.float32
+    )                                                       # [B,H,Nq,F]
+    self_scores = jnp.sum(
+        qq.astype(jnp.float32) * kq.astype(jnp.float32), axis=-1,
+        keepdims=True,
+    )                                                       # [B,H,Nq,1]
+    all_scores = jnp.concatenate([qry_scores, self_scores], axis=-1)
+    w = jax.nn.softmax(all_scores, axis=-1)
+    w = _attn_dropout(rng_q, w, dropout_rate, deterministic)
+    w = w.astype(orig_dtype)
+    qry_out = jnp.einsum(
+        "bhqk,bhkd->bhqd", w[..., :num_ctx], vc,
+        preferred_element_type=jnp.float32,
+    ).astype(orig_dtype)
+    qry_out = qry_out + w[..., num_ctx:] * vq
+
+    return jnp.concatenate([ctx_out, qry_out], axis=2)
+
+
+def dense_masked_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    allowed: jnp.ndarray,
+    *,
+    dropout_rate: float = 0.0,
+    dropout_rng: Optional[jax.Array] = None,
+    deterministic: bool = True,
+) -> jnp.ndarray:
+    """Reference-equivalent dense masked attention (parity oracle).
+
+    ``allowed`` is a boolean [S, S] (True = may attend). Used in tests to
+    prove ``tim_attention`` matches the reference mask exactly; also the
+    fallback for arbitrary masks.
+    """
+    orig_dtype = q.dtype
+    dh = q.shape[-1]
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(jnp.asarray(dh, jnp.float32))
+    scores = jnp.where(allowed[None, None], scores, jnp.float32(-jnp.inf))
+    w = jax.nn.softmax(scores, axis=-1)
+    w = _attn_dropout(dropout_rng, w, dropout_rate, deterministic)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", w.astype(orig_dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(orig_dtype)
