@@ -97,6 +97,10 @@ class _TimBase(nn.Module):
     def _encode_sequence(self, v_feats, a_feats, time_encodings,
                          num_v_queries, num_a_queries, deterministic):
         cfg = self.cfg
+        if self.is_initializing():
+            # materialize the drloc head params (only reached from the train
+            # step, which flax's lazy init would otherwise never see)
+            self.drloc(jnp.zeros((1, 1, 2 * cfg.encoder_width)))
         if cfg.apply_feature_pooling:
             v_feats = self.pool(a_feats, v_feats)
         x = self.feature_encoding(

@@ -1,0 +1,136 @@
+"""Device mesh + sharding layout.
+
+Replaces the reference's process-per-GPU DDP/NCCL stack
+(``recognition/.../utils/{distributed,multiprocessing}.py``,
+``models/build.py:51-63``) with single-controller JAX SPMD:
+
+- a 2-D ``Mesh`` with a ``data`` axis (batch sharding == DDP; gradient
+  all-reduce emerges from jit, riding ICI) and an optional ``model`` axis
+  (Megatron-style tensor parallelism over attention heads, the FFN hidden
+  dim, and the wide classifier heads — the EPIC action head alone is
+  1024x3806);
+- params carry ``NamedSharding``s; XLA GSPMD inserts the collectives.
+
+The reference's ``all_gather_unaligned`` (pickle-over-gloo) has no role:
+ragged metadata stays on the host, and every device-side shape is static.
+Multi-host runs use ``jax.distributed.initialize`` +
+``multihost_utils.process_allgather`` for host-level aggregation.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = -1, model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if data == -1:
+        data = len(devices) // model
+    assert data * model == len(devices), (
+        f"mesh {data}x{model} != {len(devices)} devices")
+    arr = mesh_utils.create_device_mesh((data, model), devices=devices)
+    return Mesh(arr, ("data", "model"))
+
+
+# (path regex, PartitionSpec) — first match wins; default replicated.
+PARTITION_RULES: Tuple[Tuple[str, P], ...] = (
+    # attention: shard heads across 'model'
+    (r".*self_attn/(q|k|v)/kernel$", P(None, "model")),
+    (r".*self_attn/(q|k|v)/bias$", P("model")),
+    (r".*self_attn/out/kernel$", P("model", None)),
+    # feed-forward: column-parallel then row-parallel
+    (r".*linear1/kernel$", P(None, "model")),
+    (r".*linear1/bias$", P("model")),
+    (r".*linear2/kernel$", P("model", None)),
+    # classifier / regression heads: column-parallel over classes
+    (r".*cls_head/[^/]+/kernel$", P(None, "model")),
+    (r".*cls_head/[^/]+/bias$", P("model")),
+)
+
+
+def _spec_for(path: str) -> P:
+    for pattern, spec in PARTITION_RULES:
+        if re.match(pattern, path):
+            return spec
+    return P()
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "name"):
+            parts.append(str(p.name))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def _divisible_spec(spec: P, shape, mesh: Mesh) -> P:
+    """Drop sharding on any dim the array size doesn't divide evenly
+    (e.g. a 97-way verb head can't split over model=2 — replicate it)."""
+    out = []
+    for i, axis in enumerate(spec):
+        if axis is None or i >= len(shape):
+            out.append(None)
+            continue
+        if shape[i] % mesh.shape[axis] == 0:
+            out.append(axis)
+        else:
+            out.append(None)
+    while out and out[-1] is None:
+        out.pop()
+    return P(*out)
+
+
+def param_shardings(params, mesh: Mesh):
+    """NamedSharding tree for a param pytree via PARTITION_RULES."""
+    def assign(path, leaf):
+        spec = _divisible_spec(_spec_for(_path_str(path)),
+                               getattr(leaf, "shape", ()), mesh)
+        return NamedSharding(mesh, spec)
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def replicate(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Shard every batch array along its leading (batch) axis."""
+    sh = NamedSharding(mesh, P("data"))
+    scalar = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x, sh if np.ndim(x) >= 1 else scalar), batch)
+
+
+def shard_train_state(state, mesh: Mesh):
+    """Place a TrainState: params per rules; optimizer moments inherit the
+    sharding of the param they track (matched by trailing dict path);
+    scalars replicated."""
+    p_flat = {
+        _path_str(path): NamedSharding(
+            mesh, _divisible_spec(_spec_for(_path_str(path)),
+                                  getattr(leaf, "shape", ()), mesh))
+        for path, leaf
+        in jax.tree_util.tree_flatten_with_path(state.params)[0]
+    }
+    repl = replicate(mesh)
+
+    def assign(path, leaf):
+        s = _path_str(path)
+        for param_path, sharding in p_flat.items():
+            if s.endswith(param_path):
+                return jax.device_put(leaf, sharding)
+        return jax.device_put(leaf, repl)
+
+    return jax.tree_util.tree_map_with_path(assign, state)

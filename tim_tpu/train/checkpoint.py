@@ -1,0 +1,124 @@
+"""Checkpoint save/load.
+
+Reference behavior replicated (``recognition/.../utils/checkpoint.py``):
+per-epoch full train-state snapshots, "best" copies per metric axis, and a
+shape-matched non-strict partial load that logs mismatches (``:20-36``).
+Serialization is flax msgpack (host numpy), no torch dependency.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+logger = logging.getLogger(__name__)
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(
+    path: str,
+    state,
+    *,
+    epoch: int = 0,
+    extra: Optional[Dict[str, Any]] = None,
+    is_best: str = "none",
+) -> None:
+    """Write ``<path>/checkpoint.msgpack`` (+ best-variant copies, matching
+    the reference's best_<axis>.pyth naming scheme, ``checkpoint.py:53-71``).
+    """
+    os.makedirs(path, exist_ok=True)
+    payload = {
+        "epoch": epoch,
+        "step": np.asarray(state.step),
+        "params": _to_host(state.params),
+        "opt_state": serialization.to_state_dict(_to_host(state.opt_state)),
+        "normaliser": np.asarray(state.normaliser),
+        "extra": extra or {},
+    }
+    blob = serialization.msgpack_serialize(payload)
+    fname = os.path.join(path, "checkpoint.msgpack")
+    with open(fname, "wb") as f:
+        f.write(blob)
+    if is_best and is_best != "none":
+        for tag in is_best.split("_"):
+            if not tag:
+                continue
+            with open(os.path.join(path, f"best_{tag}.msgpack"), "wb") as f:
+                f.write(blob)
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    fname = path if path.endswith(".msgpack") else os.path.join(
+        path, "checkpoint.msgpack")
+    with open(fname, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def shape_matched_merge(init_params, loaded_params):
+    """Keep loaded leaves whose path+shape match the freshly-initialized
+    tree; fall back to init values elsewhere, logging both directions
+    (non-strict load, ``checkpoint.py:20-36``)."""
+    flat_init = _flatten(init_params)
+    flat_loaded = _flatten(loaded_params)
+    merged = {}
+    for key, val in flat_init.items():
+        if key in flat_loaded and tuple(np.shape(flat_loaded[key])) == \
+                tuple(np.shape(val)):
+            merged[key] = np.asarray(flat_loaded[key])
+        else:
+            if key in flat_loaded:
+                logger.warning("shape mismatch for %s: ckpt %s vs init %s",
+                               key, np.shape(flat_loaded[key]),
+                               np.shape(val))
+            else:
+                logger.warning("missing from checkpoint: %s", key)
+            merged[key] = val
+    for key in flat_loaded:
+        if key not in flat_init:
+            logger.warning("unused checkpoint entry: %s", key)
+    return _unflatten(merged)
+
+
+def _flatten(tree, prefix=()):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (k,)))
+    else:
+        out["/".join(prefix)] = tree
+    return out
+
+
+def _unflatten(flat):
+    tree: Dict[str, Any] = {}
+    for key, val in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = val
+    return tree
+
+
+def restore_train_state(state, payload):
+    """Full resume: params + optimizer + step + normaliser."""
+    params = shape_matched_merge(
+        serialization.to_state_dict(_to_host(state.params)),
+        payload["params"])
+    opt_state = serialization.from_state_dict(
+        state.opt_state, payload["opt_state"])
+    import jax.numpy as jnp
+    return state.replace(
+        step=jnp.asarray(payload["step"]),
+        params=params,
+        opt_state=opt_state,
+        normaliser=jnp.asarray(payload["normaliser"]),
+    )
