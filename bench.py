@@ -1,0 +1,92 @@
+"""Benchmark: dense multi-window detection inference throughput.
+
+This is the production serving path of TIM detection — every 30 s window of
+an untrimmed video is scored against the full multi-scale query pyramid
+(399 interval queries per modality, EPIC audio-visual config: d_model 512,
+6 layers, 100 context tokens, 898-token sequence) — matching the
+reference's ``--extract_feats`` dense dump
+(``detection/scripts/extract_feats.py``).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference implementation on one A100-80GB. The reference
+repo publishes no throughput numbers (BASELINE.md), so the anchor is an
+analytic estimate, deliberately generous to the reference: ~115 GFLOPs per
+window (dense [898x898] masked attention, fp16) at 35% MFU on A100's
+312 TFLOPs = ~950 windows/s. vs_baseline = measured / 950.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_A100_WINDOWS_PER_SEC = 950.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tim_tpu import config as C
+    from tim_tpu.models import TimDetection
+    from tim_tpu.models.queries import generate_query_pyramid
+    from tim_tpu.train.detection import make_inference_step
+
+    cfg = C.epic_detection(compute_dtype="bfloat16")
+    model = TimDetection(cfg)
+    infer = jax.jit(make_inference_step(model, cfg))
+
+    nq = generate_query_pyramid(cfg.inference_query_size).shape[0]
+    nf = cfg.num_feats
+    batch = 64
+    rng = np.random.default_rng(0)
+    example = {
+        "v_feats": jnp.asarray(rng.normal(
+            size=(batch, nf, cfg.visual_input_dim)), jnp.float32),
+        "a_feats": jnp.asarray(rng.normal(
+            size=(batch, nf, cfg.audio_input_dim)), jnp.float32),
+        "times": jnp.asarray(rng.uniform(size=(batch, 2 * nf, 2)),
+                             jnp.float32),
+        "window_start": jnp.zeros((batch,), jnp.float32),
+        "window_size": jnp.full((batch,), 30.0, jnp.float32),
+    }
+
+    key = jax.random.PRNGKey(0)
+    params_rng = {"params": key, "dropout": key}
+    t_dummy = jnp.zeros((batch, 2 * nf + 2 * nq, 2))
+    variables = model.init(params_rng, example["v_feats"],
+                           example["a_feats"], t_dummy, nq, nq,
+                           deterministic=True)
+    params = variables["params"]
+
+    # warmup + compile
+    out = infer(params, example)
+    jax.block_until_ready(out)
+
+    iters = 30
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = infer(params, example)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - start
+
+    windows_per_sec = batch * iters / elapsed
+    print(
+        f"[bench] {windows_per_sec:.1f} windows/s "
+        f"({windows_per_sec * 2 * nq:.0f} query-intervals/s, batch {batch}, "
+        f"{iters} iters, {elapsed:.3f}s, device {jax.devices()[0]})",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "dense_detection_inference_windows_per_sec_per_chip",
+        "value": round(windows_per_sec, 2),
+        "unit": "windows/s",
+        "vs_baseline": round(
+            windows_per_sec / BASELINE_A100_WINDOWS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
