@@ -1,0 +1,158 @@
+"""Metrics / meters / mAP golden tests vs the reference's own code."""
+
+import importlib.util
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+from tim_tpu.evals.anet import (
+    DetectionEvaluator, compute_average_precision_detection,
+    interpolated_prec_rec, segment_iou)
+from tim_tpu.evals.format_predictions import (
+    evaluate_detections, gt_to_columns, threshold_predictions)
+from tim_tpu.evals.meters import WindowVoteAccumulator
+from tim_tpu.evals.metrics import multitask_accuracy, topk_accuracy
+
+
+def _load_ref(path, name):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_topk_accuracy_matches_reference():
+    torch = pytest.importorskip("torch")
+    ref = _load_ref("/root/reference/recognition/time_interval_machine/"
+                    "utils/metrics.py", "ref_metrics")
+    rng = np.random.default_rng(0)
+    scores = rng.normal(size=(50, 12)).astype(np.float32)
+    labels = rng.integers(0, 12, 50)
+    want = ref.accuracy(torch.tensor(scores), torch.tensor(labels))
+    got = topk_accuracy(scores, labels)
+    assert got[0] == pytest.approx(want[0], abs=1e-4)
+    assert got[1] == pytest.approx(want[1], abs=1e-4)
+
+
+def test_multitask_accuracy_matches_reference():
+    torch = pytest.importorskip("torch")
+    ref = _load_ref("/root/reference/recognition/time_interval_machine/"
+                    "utils/metrics.py", "ref_metrics")
+    rng = np.random.default_rng(1)
+    v = rng.normal(size=(40, 9)).astype(np.float32)
+    n = rng.normal(size=(40, 11)).astype(np.float32)
+    vl = rng.integers(0, 9, 40)
+    nl = rng.integers(0, 11, 40)
+    want = ref.multitask_accuracy(
+        (torch.tensor(v), torch.tensor(n)),
+        (torch.tensor(vl), torch.tensor(nl)))
+    got = multitask_accuracy((v, n), (vl, nl))
+    assert got[0] == pytest.approx(want[0], abs=1e-4)
+    assert got[1] == pytest.approx(want[1], abs=1e-4)
+
+
+def test_window_vote_matches_reference_mechanic():
+    """sum logits per action / seen-count -> softmax -> accuracy, with the
+    seen-count shared between modalities (meters.py:490-599)."""
+    rng = np.random.default_rng(2)
+    num_actions, c = 10, 5
+    acc = WindowVoteAccumulator(num_actions, {"action": c, "audio": 4})
+
+    sums = np.zeros((num_actions, c))
+    seen = np.zeros(num_actions)
+    labels_ref = -np.ones(num_actions, np.int64)
+
+    for _ in range(6):
+        ids = rng.integers(0, num_actions, (2, 3))
+        logits = rng.normal(size=(2, 3, c)).astype(np.float32)
+        labels = rng.integers(0, c, (2, 3))
+        acc.update({"action": logits}, ids, None,
+                   {"verb": labels, "noun": labels, "action": labels})
+        np.add.at(sums, ids.reshape(-1), logits.reshape(-1, c))
+        np.add.at(seen, ids.reshape(-1), 1.0)
+        labels_ref[ids.reshape(-1)] = labels.reshape(-1)
+
+    scores, labels = acc.ensembled_scores("action")
+    valid = labels_ref != -1
+    mean_logits = sums[valid] / seen[valid][:, None]
+    want = np.exp(mean_logits - mean_logits.max(-1, keepdims=True))
+    want = want / want.sum(-1, keepdims=True)
+    np.testing.assert_allclose(scores, want, atol=1e-6)
+    np.testing.assert_array_equal(labels, labels_ref[valid])
+
+
+def test_ap_matches_reference_evaluator():
+    """Golden test vs the reference's compute_average_precision_detection
+    on random predictions."""
+    pd = pytest.importorskip("pandas")
+    ref = _load_ref("/root/reference/detection/eval_detection/"
+                    "evaluate_detection_json_ek100.py", "ref_eval")
+
+    rng = np.random.default_rng(3)
+    n_gt, n_pred = 25, 80
+    vids = np.asarray([f"v{i % 4}" for i in range(n_gt)], object)
+    gs = rng.uniform(0, 50, n_gt)
+    ge = gs + rng.uniform(0.5, 5, n_gt)
+
+    pv = np.asarray([f"v{i % 5}" for i in range(n_pred)], object)  # v4 = fp
+    ps = rng.uniform(0, 50, n_pred)
+    pe = ps + rng.uniform(0.5, 6, n_pred)
+    scores = rng.uniform(0, 1, n_pred)
+
+    tious = np.linspace(0.1, 0.5, 5)
+    gt_df = pd.DataFrame({
+        "video-id": vids, "t-start": gs, "t-end": ge,
+        "narration": [f"n{i}" for i in range(n_gt)]})
+    pred_df = pd.DataFrame({
+        "video-id": pv, "t-start": ps, "t-end": pe, "score": scores,
+        "verb": 0, "noun": 0})
+    want, _ = ref.compute_average_precision_detection(gt_df, pred_df,
+                                                      tious)
+
+    got = compute_average_precision_detection(
+        vids, np.stack([gs, ge], -1), pv, np.stack([ps, pe], -1), scores,
+        tious)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_interpolated_prec_rec_matches_reference():
+    ref = _load_ref("/root/reference/detection/eval_detection/"
+                    "evaluate_detection_json_ek100.py", "ref_eval2")
+    rng = np.random.default_rng(4)
+    prec = rng.uniform(0, 1, 30)
+    rec = np.sort(rng.uniform(0, 1, 30))
+    assert interpolated_prec_rec(prec, rec) == pytest.approx(
+        ref.interpolated_prec_rec(prec, rec), abs=1e-12)
+
+
+def test_end_to_end_detection_eval_perfect_predictions():
+    """Perfect proposals at high score -> avg mAP 1.0."""
+    rng = np.random.default_rng(5)
+    n = 12
+    vids = np.asarray([f"v{i % 3}" for i in range(n)], object)
+    starts = rng.uniform(0, 40, n)
+    ends = starts + rng.uniform(1, 4, n)
+    labels = rng.integers(0, 4, n)
+
+    scores = np.full((n, 4), 0.001, np.float32)
+    scores[np.arange(n), labels] = 0.9
+
+    m_ap, avg, submission = evaluate_detections(
+        vids, np.stack([starts, ends], -1), scores,
+        gt_to_columns(vids, starts, ends, labels))
+    assert avg == pytest.approx(1.0)
+    assert len(submission["results"]) == 3
+
+
+def test_threshold_predictions_drops_empty_and_expands_multilabel():
+    vids = np.asarray(["a", "a", "b"], object)
+    props = np.asarray([[0, 1], [2, 2], [3, 5]], np.float32)
+    scores = np.asarray([[0.5, 0.2, 0.01], [0.9, 0.9, 0.9],
+                         [0.04, 0.01, 0.01]], np.float32)
+    out = threshold_predictions(vids, props, scores, 0.03)
+    assert len(out["a"]["labels"]) == 2      # zero-length row dropped
+    assert set(out["a"]["labels"].tolist()) == {0, 1}
+    assert len(out["b"]["labels"]) == 1

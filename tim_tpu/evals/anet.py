@@ -1,0 +1,147 @@
+"""ANET-style temporal detection mAP.
+
+Re-implements the evaluation protocol of
+``detection/eval_detection/evaluate_detection_json_ek100.py:83-290`` (itself
+the ActivityNet devkit protocol): per-class VOC-interpolated average
+precision at tIoU thresholds {0.1..0.5}, greedy one-to-one GT matching in
+descending score order, averaged over classes then thresholds.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def segment_iou(target: np.ndarray, candidates: np.ndarray) -> np.ndarray:
+    """IoU of one [2] segment against [N, 2] candidates."""
+    lo = np.maximum(target[0], candidates[:, 0])
+    hi = np.minimum(target[1], candidates[:, 1])
+    inter = np.clip(hi - lo, 0.0, None)
+    union = ((candidates[:, 1] - candidates[:, 0])
+             + (target[1] - target[0]) - inter)
+    return inter.astype(float) / union
+
+
+def interpolated_prec_rec(prec: np.ndarray, rec: np.ndarray) -> float:
+    """VOC 2011 interpolated AP."""
+    mprec = np.concatenate([[0.0], prec, [0.0]])
+    mrec = np.concatenate([[0.0], rec, [1.0]])
+    for i in range(len(mprec) - 2, -1, -1):
+        mprec[i] = max(mprec[i], mprec[i + 1])
+    idx = np.flatnonzero(mrec[1:] != mrec[:-1]) + 1
+    return float(np.sum((mrec[idx] - mrec[idx - 1]) * mprec[idx]))
+
+
+def compute_average_precision_detection(
+    gt_videos: np.ndarray, gt_segments: np.ndarray,
+    pred_videos: np.ndarray, pred_segments: np.ndarray,
+    pred_scores: np.ndarray,
+    tiou_thresholds: np.ndarray,
+) -> np.ndarray:
+    """AP at each tIoU for one class. Greedy GT locking: each GT segment is
+    creditable to at most one prediction per threshold."""
+    n_thr = len(tiou_thresholds)
+    ap = np.zeros(n_thr)
+    npos = float(len(gt_segments))
+    if len(pred_segments) == 0 or npos == 0:
+        return ap
+
+    order = np.argsort(-pred_scores, kind="stable")
+    pred_videos = pred_videos[order]
+    pred_segments = pred_segments[order]
+
+    # group GT rows by video
+    gt_by_video: Dict = {}
+    for i, v in enumerate(gt_videos):
+        gt_by_video.setdefault(v, []).append(i)
+    gt_by_video = {v: np.asarray(ix) for v, ix in gt_by_video.items()}
+
+    n_pred = len(pred_segments)
+    tp = np.zeros((n_thr, n_pred))
+    fp = np.zeros((n_thr, n_pred))
+    lock = -np.ones((n_thr, len(gt_segments)), np.int64)
+
+    for idx in range(n_pred):
+        gt_idx = gt_by_video.get(pred_videos[idx])
+        if gt_idx is None:
+            fp[:, idx] = 1
+            continue
+        tious = segment_iou(pred_segments[idx], gt_segments[gt_idx])
+        by_iou = np.argsort(-tious, kind="stable")
+        for t, thr in enumerate(tiou_thresholds):
+            matched = False
+            for j in by_iou:
+                if tious[j] < thr:
+                    break
+                if lock[t, gt_idx[j]] >= 0:
+                    continue
+                tp[t, idx] = 1
+                lock[t, gt_idx[j]] = idx
+                matched = True
+                break
+            if not matched:
+                fp[t, idx] = 1
+
+    tp_cum = np.cumsum(tp, axis=1)
+    fp_cum = np.cumsum(fp, axis=1)
+    recall = tp_cum / npos
+    precision = tp_cum / (tp_cum + fp_cum)
+    for t in range(n_thr):
+        ap[t] = interpolated_prec_rec(precision[t], recall[t])
+    return ap
+
+
+class DetectionEvaluator:
+    """mAP over classes present in the ground truth.
+
+    Inputs are column dicts (or DataFrames) with keys
+    ``video-id, t-start, t-end, label`` (+ ``score`` for predictions).
+    Predictions with labels absent from the GT are dropped, matching
+    ``evaluate_detection_json_ek100.py:98-105``.
+    """
+
+    def __init__(
+        self,
+        ground_truth,
+        prediction,
+        tiou_thresholds: Sequence[float] = (0.1, 0.2, 0.3, 0.4, 0.5),
+        n_jobs: int = 1,
+    ):
+        self.tiou = np.asarray(tiou_thresholds, float)
+        self.gt = {k: np.asarray(ground_truth[k]) for k in
+                   ("video-id", "t-start", "t-end", "label")}
+        self.pred = {k: np.asarray(prediction[k]) for k in
+                     ("video-id", "t-start", "t-end", "label", "score")}
+        self.n_jobs = n_jobs
+
+        gt_labels = np.unique(self.gt["label"])
+        keep = np.isin(self.pred["label"], gt_labels)
+        self.pred = {k: v[keep] for k, v in self.pred.items()}
+        self.labels = sorted(gt_labels.tolist())
+
+    def _one_class(self, label):
+        g = self.gt["label"] == label
+        p = self.pred["label"] == label
+        return compute_average_precision_detection(
+            self.gt["video-id"][g],
+            np.stack([self.gt["t-start"][g], self.gt["t-end"][g]], -1),
+            self.pred["video-id"][p],
+            np.stack([self.pred["t-start"][p], self.pred["t-end"][p]], -1),
+            self.pred["score"][p],
+            self.tiou,
+        )
+
+    def evaluate(self) -> Tuple[np.ndarray, float, np.ndarray]:
+        """Returns (mAP per tIoU, average mAP, per-class AP [T, C])."""
+        if self.n_jobs > 1:
+            from joblib import Parallel, delayed
+            results = Parallel(n_jobs=self.n_jobs)(
+                delayed(self._one_class)(lb) for lb in self.labels)
+        else:
+            results = [self._one_class(lb) for lb in self.labels]
+        ap = np.stack(results, axis=1) if results else np.zeros(
+            (len(self.tiou), 0))
+        m_ap = ap.mean(axis=1) if ap.size else np.zeros(len(self.tiou))
+        return m_ap, float(m_ap.mean()), ap

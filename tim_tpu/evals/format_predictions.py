@@ -1,0 +1,166 @@
+"""Dense prediction dump -> thresholded proposals -> per-video Soft-NMS ->
+challenge submission -> mAP.
+
+In-process replacement for the reference's three chained programs
+(``detection/eval_detection/format_predictions_epic.py`` ->
+``evaluate_detection_json_ek100.py`` via subprocess): threshold scores
+(> 0.03), expand multi-label proposals, per-video multi-class Soft-NMS
+(iou 0.1, sigma 0.25, min_score 0.001), build the EPIC challenge dict, and
+evaluate directly.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from tim_tpu.evals.anet import DetectionEvaluator
+from tim_tpu.evals.nms import batched_nms
+
+
+def threshold_predictions(
+    video_ids: np.ndarray,        # [N] str
+    proposals: np.ndarray,        # [N, 2] video-time segments
+    scores: np.ndarray,           # [N, C]
+    score_threshold: float = 0.03,
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """Per-video candidate lists: every (proposal, class) pair whose score
+    clears the threshold (``format_predictions_epic.py:124-141``).
+    Zero/negative-length proposals are dropped."""
+    proposals = np.round(np.asarray(proposals, np.float64), 3)
+    out: Dict[str, Dict[str, List]] = {}
+    valid_len = proposals[:, 1] - proposals[:, 0] > 0.0
+    for i in np.flatnonzero(valid_len):
+        cls = np.flatnonzero(scores[i] > score_threshold)
+        if cls.size == 0:
+            continue
+        vid = str(video_ids[i])
+        entry = out.setdefault(vid, {"segments": [], "scores": [],
+                                     "labels": []})
+        entry["segments"].extend([proposals[i]] * cls.size)
+        entry["scores"].extend(scores[i, cls].tolist())
+        entry["labels"].extend(cls.tolist())
+    return {
+        vid: {
+            "segments": np.asarray(e["segments"], np.float32).reshape(-1, 2),
+            "scores": np.asarray(e["scores"], np.float32),
+            "labels": np.asarray(e["labels"], np.int64),
+        } for vid, e in out.items()
+    }
+
+
+def nms_per_video(
+    candidates: Dict[str, Dict[str, np.ndarray]],
+    *,
+    iou_threshold: float = 0.1,
+    min_score: float = 0.001,
+    sigma: float = 0.25,
+    method: int = 2,
+    nms_kind: str = "soft",
+    n_jobs: int = 1,
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """Multi-class Soft-NMS per video (``format_predictions_epic.py:51-112``,
+    ``146-156``)."""
+
+    def one(vid, entry):
+        segs, scores, labels = batched_nms(
+            entry["segments"], entry["scores"], entry["labels"],
+            iou_threshold=iou_threshold, min_score=min_score, sigma=sigma,
+            method=method, nms_kind=nms_kind, multi_class=True)
+        order = np.argsort(-scores, kind="stable")
+        return vid, {"segments": np.round(segs[order], 3),
+                     "scores": scores[order], "labels": labels[order]}
+
+    if n_jobs > 1:
+        from joblib import Parallel, delayed
+        results = Parallel(n_jobs=n_jobs)(
+            delayed(one)(vid, entry) for vid, entry in candidates.items())
+    else:
+        results = [one(v, e) for v, e in candidates.items()]
+    return dict(results)
+
+
+def build_submission(
+    detections: Dict[str, Dict[str, np.ndarray]],
+    task: str = "action",
+    challenge: str = "action_detection",
+) -> Dict:
+    """EPIC challenge JSON structure
+    (``format_predictions_epic.py:164-195``)."""
+    results = {}
+    for vid, det in detections.items():
+        entries = []
+        for seg, score, label in zip(det["segments"], det["scores"],
+                                     det["labels"]):
+            entries.append({
+                task: int(label),
+                "score": float(score),
+                "segment": [float(seg[0]), float(seg[1])],
+            })
+        results[vid] = entries
+    return {
+        "version": "0.2",
+        "challenge": challenge,
+        "sls_pt": 2, "sls_tl": 3, "sls_td": 4,
+        "results": results,
+    }
+
+
+def submission_to_columns(submission: Dict, task: str = "action") -> Dict:
+    vids, starts, ends, labels, scores = [], [], [], [], []
+    for vid, entries in submission["results"].items():
+        for e in entries:
+            vids.append(vid)
+            starts.append(e["segment"][0])
+            ends.append(e["segment"][1])
+            labels.append(e[task])
+            scores.append(e["score"])
+    return {
+        "video-id": np.asarray(vids, object),
+        "t-start": np.asarray(starts, float),
+        "t-end": np.asarray(ends, float),
+        "label": np.asarray(labels),
+        "score": np.asarray(scores, float),
+    }
+
+
+def gt_to_columns(video_ids, starts, ends, labels) -> Dict:
+    return {
+        "video-id": np.asarray(video_ids, object),
+        "t-start": np.asarray(starts, float),
+        "t-end": np.asarray(ends, float),
+        "label": np.asarray(labels),
+    }
+
+
+def evaluate_detections(
+    video_ids: np.ndarray,
+    proposals: np.ndarray,
+    scores: np.ndarray,
+    gt_columns: Dict,
+    *,
+    score_threshold: float = 0.03,
+    sigma: float = 0.25,
+    iou_threshold: float = 0.1,
+    tiou_thresholds: Sequence[float] = (0.1, 0.2, 0.3, 0.4, 0.5),
+    n_jobs: int = 1,
+    submission_path: Optional[str] = None,
+    task: str = "action",
+):
+    """Full pipeline: dense dump -> mAP. Returns (mAP per tIoU, avg mAP,
+    submission dict)."""
+    cands = threshold_predictions(video_ids, proposals, scores,
+                                  score_threshold)
+    dets = nms_per_video(cands, iou_threshold=iou_threshold, sigma=sigma,
+                         n_jobs=n_jobs)
+    submission = build_submission(dets, task=task)
+    if submission_path:
+        with open(submission_path, "w") as f:
+            json.dump(submission, f, indent=4, separators=(",", ": "))
+    evaluator = DetectionEvaluator(
+        gt_columns, submission_to_columns(submission, task=task),
+        tiou_thresholds=tiou_thresholds, n_jobs=n_jobs)
+    m_ap, avg, _ = evaluator.evaluate()
+    return m_ap, avg, submission
