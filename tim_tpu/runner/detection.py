@@ -1,0 +1,236 @@
+"""Detection training/validation/extraction orchestration
+(role of ``detection/scripts/{train,test,extract_feats}.py`` plus the
+eval_detection chain, as one class)."""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tim_tpu.config import DetectionConfig, MeshConfig, TrainConfig
+from tim_tpu.data.dataset import DetectionDataset, batch_iterator
+from tim_tpu.evals.format_predictions import evaluate_detections
+from tim_tpu.evals.meters import LossAverager
+from tim_tpu.models import TimDetection
+from tim_tpu.models.queries import generate_query_pyramid
+from tim_tpu.parallel import make_mesh, shard_batch, shard_train_state
+from tim_tpu.train import checkpoint as ckpt
+from tim_tpu.train import detection as steps
+from tim_tpu.train.optim import make_optimizer
+from tim_tpu.train.state import create_train_state
+from tim_tpu.utils.logging import log_json_stats, setup_logging
+
+
+class DetectionRunner:
+    def __init__(
+        self,
+        cfg: DetectionConfig,
+        tcfg: TrainConfig,
+        train_ds: Optional[DetectionDataset],
+        val_ds: Optional[DetectionDataset],
+        *,
+        mesh_cfg: MeshConfig = MeshConfig(),
+        output_dir: Optional[str] = None,
+        print_freq: int = 100,
+    ):
+        self.cfg = cfg
+        self.tcfg = tcfg
+        self.train_ds = train_ds
+        self.val_ds = val_ds
+        self.output_dir = output_dir
+        self.print_freq = print_freq
+        self.logger = setup_logging(output_dir)
+
+        self.model = TimDetection(cfg)
+        self.mesh = make_mesh(mesh_cfg.data, mesh_cfg.model)
+        self.num_queries = generate_query_pyramid(
+            cfg.inference_query_size).shape[0]
+
+        steps_per_epoch = max(
+            len(train_ds) // tcfg.batch_size, 1) if train_ds else 1
+        self.tx = make_optimizer(
+            tcfg.lr, tcfg.weight_decay,
+            total_steps=steps_per_epoch * tcfg.epochs,
+            warmup_steps=steps_per_epoch * tcfg.warmup_epochs,
+            min_lr=tcfg.min_lr, clip_norm=tcfg.clip_norm)
+
+        self._train_step = jax.jit(steps.make_train_step(
+            self.model, cfg, tcfg))
+        self._val_step = jax.jit(steps.make_val_step(self.model, cfg, tcfg))
+        self._infer_step = jax.jit(steps.make_inference_step(
+            self.model, cfg))
+
+        self.state = None
+        self.best_loss = float("inf")
+        self.last_best_epoch = 0
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng: Optional[jax.Array] = None,
+                   pretrained: Optional[str] = None):
+        rng = rng if rng is not None else jax.random.PRNGKey(self.tcfg.seed)
+        ds = self.train_ds or self.val_ds
+        example = ds[0]
+        nf = self.cfg.num_context
+        nq = self.num_queries
+        n_mod = (2 if self.cfg.data_modality == "audio_visual" else 1)
+        t_dummy = jnp.zeros((1, nf + n_mod * nq, 2))
+        variables = self.model.init(
+            {"params": rng, "dropout": rng},
+            jnp.asarray(example["v_feats"])[None]
+            if "v_feats" in example else None,
+            jnp.asarray(example["a_feats"])[None]
+            if "a_feats" in example else None,
+            t_dummy,
+            nq if "visual" in self.cfg.data_modality else 0,
+            nq if "audio" in self.cfg.data_modality else 0,
+            deterministic=True)
+        params = variables["params"]
+        if pretrained:
+            payload = ckpt.load_checkpoint(pretrained)
+            from flax import serialization
+            params = ckpt.shape_matched_merge(
+                serialization.to_state_dict(params), payload["params"])
+        state = create_train_state(params, self.tx,
+                                   normaliser=self.tcfg.normaliser_init)
+        self.state = shard_train_state(state, self.mesh)
+        return self.state
+
+    def load_torch_checkpoint(self, state_dict):
+        from tim_tpu.convert import detection_params_from_torch
+        variables = detection_params_from_torch(
+            state_dict, d_model=self.cfg.d_model,
+            num_layers=self.cfg.num_layers)
+        if self.state is None:
+            self.init_state()
+        state = self.state.replace(params=variables["params"])
+        self.state = shard_train_state(state, self.mesh)
+        return self.state
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, epoch: int, rng: jax.Array) -> Dict[str, float]:
+        avg = LossAverager()
+        epoch_rng = np.random.default_rng(self.tcfg.seed + epoch)
+        for i, batch in enumerate(batch_iterator(
+                self.train_ds, self.tcfg.batch_size, shuffle=True,
+                rng=epoch_rng)):
+            batch = shard_batch(batch, self.mesh)
+            self.state, metrics = self._train_step(self.state, batch, rng)
+            if i % self.print_freq == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                avg.update(metrics)
+                self.logger.info("epoch %d iter %d | loss %.4f | "
+                                 "normaliser %.1f", epoch + 1, i,
+                                 metrics["loss"], metrics["normaliser"])
+        stats = avg.averages()
+        log_json_stats(self.logger, {"split": "train", "epoch": epoch + 1,
+                                     **stats})
+        return stats
+
+    # ------------------------------------------------------------------
+    def validate(self, epoch: int = 0) -> Dict[str, float]:
+        """Validation tracks detection losses on GT windows (the reference
+        selects the best model by min val loss, ``detection meters.py:
+        425-444``). Uses the train step's loss math without updating."""
+        avg = LossAverager()
+        self.val_ds.sample_augmentations = False
+        for batch in batch_iterator(self.val_ds, self.tcfg.batch_size,
+                                    shuffle=False):
+            batch = shard_batch(batch, self.mesh)
+            metrics = self._val_step(self.state, batch)
+            avg.update({k: float(v) for k, v in metrics.items()
+                        if k.startswith("loss")})
+        stats = avg.averages()
+        log_json_stats(self.logger, {"split": "val", "epoch": epoch + 1,
+                                     **stats})
+        return stats
+
+    # ------------------------------------------------------------------
+    def fit(self, epochs: Optional[int] = None) -> Dict[str, float]:
+        epochs = epochs or self.tcfg.epochs
+        rng = jax.random.PRNGKey(self.tcfg.seed)
+        if self.state is None:
+            self.init_state(rng)
+        final: Dict[str, float] = {}
+        for epoch in range(epochs):
+            self.train_epoch(epoch, rng)
+            stats = self.validate(epoch)
+            final = stats
+            is_best = "none"
+            if stats.get("loss", float("inf")) < self.best_loss:
+                self.best_loss = stats["loss"]
+                self.last_best_epoch = epoch
+                is_best = "loss"
+            if self.output_dir:
+                ckpt.save_checkpoint(
+                    self.output_dir, self.state, epoch=epoch + 1,
+                    extra={"val_stats": {k: float(v)
+                                         for k, v in stats.items()}},
+                    is_best=is_best)
+            if (self.tcfg.early_stop_period > 0 and
+                    epoch - self.last_best_epoch >
+                    self.tcfg.early_stop_period):
+                self.logger.info("early stop at epoch %d", epoch + 1)
+                break
+        return final
+
+    # ------------------------------------------------------------------
+    def extract_dense_predictions(self, dataset=None):
+        """Dense per-window proposal dump over *all* windows
+        (``detection/scripts/extract_feats.py:68-139``). Returns
+        column arrays ready for ``evals.format_predictions``."""
+        ds = dataset or self.val_ds
+        ds.sample_augmentations = False
+        video_ids, proposals, queries = [], [], []
+        scores: Dict[str, list] = {}
+
+        windows = ds.windows.windows
+        idx = 0
+        for batch in batch_iterator(ds, self.tcfg.batch_size,
+                                    shuffle=False, drop_last=False):
+            n = batch["times"].shape[0]
+            out = self._infer_step(self.state.params, shard_batch(
+                batch, self.mesh))
+            out = {k: np.asarray(v) for k, v in out.items()}
+            batch_windows = windows[idx:idx + n]
+            idx += n
+            take = len(batch_windows)  # final batch may be padded
+            for j in range(take):
+                video_ids.append(batch_windows[j].video_id)
+            queries.append(out["queries"][:take])
+            if "v_proposals" in out:
+                proposals.append(out["v_proposals"][:take])
+                scores.setdefault("action", []).append(
+                    out["v_scores"][:take])
+                if "verb_scores" in out:
+                    scores.setdefault("verb", []).append(
+                        out["verb_scores"][:take])
+                    scores.setdefault("noun", []).append(
+                        out["noun_scores"][:take])
+            if "a_proposals" in out:
+                scores.setdefault("audio", []).append(
+                    out["a_scores"][:take])
+                scores.setdefault("a_proposals", []).append(
+                    out["a_proposals"][:take])
+
+        nq = self.num_queries
+        result = {
+            "video_ids": np.repeat(np.asarray(video_ids, object), nq),
+            "queries": np.concatenate(queries).reshape(-1, 2),
+        }
+        if proposals:
+            result["v_proposals"] = np.concatenate(proposals).reshape(-1, 2)
+        for key, chunks in scores.items():
+            arr = np.concatenate(chunks)
+            result[key] = arr.reshape(-1, arr.shape[-1])
+        return result
+
+    def evaluate_mAP(self, gt_columns, dataset=None, *, task="action",
+                     score_key="action", proposals_key="v_proposals",
+                     **eval_kwargs):
+        dump = self.extract_dense_predictions(dataset)
+        return evaluate_detections(
+            dump["video_ids"], dump[proposals_key], dump[score_key],
+            gt_columns, task=task, **eval_kwargs)

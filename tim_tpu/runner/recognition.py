@@ -1,0 +1,265 @@
+"""Recognition training/validation/extraction orchestration.
+
+High-level driver tying together data, jit steps, sharding, meters, and
+checkpoints — the role of ``recognition/scripts/{train,test,
+extract_feats}.py`` — as one class instead of three CLI programs.
+"""
+
+from __future__ import annotations
+
+import pickle
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tim_tpu.config import MeshConfig, ModelConfig, TrainConfig
+from tim_tpu.data.dataset import RecognitionDataset, batch_iterator
+from tim_tpu.evals.meters import LossAverager, WindowVoteAccumulator
+from tim_tpu.models import TimRecognition
+from tim_tpu.parallel import make_mesh, shard_batch, shard_train_state
+from tim_tpu.train import checkpoint as ckpt
+from tim_tpu.train import recognition as steps
+from tim_tpu.train.optim import make_optimizer
+from tim_tpu.train.state import create_train_state
+from tim_tpu.utils.logging import PhaseTimer, log_json_stats, setup_logging
+
+
+def _head_spec(cfg: ModelConfig) -> Dict[str, int]:
+    heads = {}
+    if "visual" in cfg.data_modality:
+        if cfg.include_verb_noun:
+            heads["verb"] = cfg.visual_classes[0]
+            heads["noun"] = cfg.visual_classes[1]
+        heads["action"] = cfg.visual_classes[-1]
+    if "audio" in cfg.data_modality:
+        heads["audio"] = cfg.audio_classes
+    return heads
+
+
+class RecognitionRunner:
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        tcfg: TrainConfig,
+        train_ds: Optional[RecognitionDataset],
+        val_ds: Optional[RecognitionDataset],
+        *,
+        mesh_cfg: MeshConfig = MeshConfig(),
+        output_dir: Optional[str] = None,
+        dataset_name: str = "epic",
+        print_freq: int = 100,
+    ):
+        self.cfg = cfg
+        self.tcfg = tcfg
+        self.train_ds = train_ds
+        self.val_ds = val_ds
+        self.output_dir = output_dir
+        self.dataset_name = dataset_name
+        self.print_freq = print_freq
+        self.logger = setup_logging(output_dir)
+
+        ws = (train_ds or val_ds).windows
+        self.nv = ws.max_visual_actions
+        self.na = ws.max_audio_actions
+
+        self.model = TimRecognition(cfg)
+        self.mesh = make_mesh(mesh_cfg.data, mesh_cfg.model)
+        steps_per_epoch = max(
+            len(train_ds) // tcfg.batch_size, 1) if train_ds else 1
+        self.tx = make_optimizer(
+            tcfg.lr, tcfg.weight_decay,
+            total_steps=steps_per_epoch * tcfg.epochs,
+            warmup_steps=steps_per_epoch * tcfg.warmup_epochs,
+            min_lr=tcfg.min_lr, clip_norm=tcfg.clip_norm)
+
+        self._train_step = jax.jit(steps.make_train_step(
+            self.model, cfg, tcfg, self.nv, self.na))
+        self._eval_step = jax.jit(steps.make_eval_step(
+            self.model, cfg, tcfg, self.nv, self.na))
+
+        self.state = None
+        self.best = {"visual": 0.0, "visual_mt": 0.0, "audio": 0.0,
+                     "combined": 0.0}
+        self.last_best_epoch = 0
+
+    # ------------------------------------------------------------------
+    def init_state(self, rng: Optional[jax.Array] = None,
+                   pretrained: Optional[str] = None):
+        rng = rng if rng is not None else jax.random.PRNGKey(self.tcfg.seed)
+        ds = self.train_ds or self.val_ds
+        example = ds[0]
+        batch = {k: jnp.asarray(v)[None] for k, v in example.items()}
+        variables = self.model.init(
+            {"params": rng, "dropout": rng}, batch.get("v_feats"),
+            batch.get("a_feats"), batch["times"], self.nv, self.na,
+            deterministic=True)
+        params = variables["params"]
+        if pretrained:
+            payload = ckpt.load_checkpoint(pretrained)
+            from flax import serialization
+            params = ckpt.shape_matched_merge(
+                serialization.to_state_dict(params), payload["params"])
+        state = create_train_state(params, self.tx)
+        self.state = shard_train_state(state, self.mesh)
+        return self.state
+
+    def load_torch_checkpoint(self, state_dict):
+        """Load a released reference checkpoint (torch state_dict)."""
+        from tim_tpu.convert import recognition_params_from_torch
+        variables = recognition_params_from_torch(
+            state_dict, d_model=self.cfg.d_model,
+            num_layers=self.cfg.num_layers)
+        if self.state is None:
+            self.init_state()
+        state = self.state.replace(params=variables["params"])
+        self.state = shard_train_state(state, self.mesh)
+        return self.state
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, epoch: int, rng: jax.Array) -> Dict[str, float]:
+        assert self.state is not None
+        timer = PhaseTimer()
+        avg = LossAverager()
+        epoch_rng = np.random.default_rng(self.tcfg.seed + epoch)
+        it = batch_iterator(self.train_ds, self.tcfg.batch_size,
+                            shuffle=True, rng=epoch_rng)
+        timer.iter_tic()
+        for i, batch in enumerate(it):
+            batch = shard_batch(batch, self.mesh)
+            timer.data_toc()
+            self.state, metrics = self._train_step(self.state, batch, rng)
+            if i % self.print_freq == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                timer.net_toc()
+                timer.iter_toc()
+                avg.update(metrics)
+                self.logger.info(
+                    "epoch %d iter %d | loss %.4f | iter %.3fs "
+                    "(data %.3fs net %.3fs)",
+                    epoch + 1, i, metrics["loss"], timer.iter_time,
+                    timer.data_time, timer.net_time)
+            timer.iter_tic()
+        stats = avg.averages()
+        log_json_stats(self.logger, {"split": "train", "epoch": epoch + 1,
+                                     **stats})
+        return stats
+
+    # ------------------------------------------------------------------
+    def validate(self, epoch: int = 0) -> Dict[str, float]:
+        assert self.state is not None
+        acc = WindowVoteAccumulator(
+            self.val_ds.windows.num_actions, _head_spec(self.cfg))
+        avg = LossAverager()
+        self.val_ds.sample_augmentations = False
+        it = batch_iterator(self.val_ds, self.tcfg.batch_size,
+                            shuffle=False, drop_last=False)
+        for batch in it:
+            dev_batch = shard_batch(
+                {k: v for k, v in batch.items()
+                 if k not in ("v_action_ids", "a_action_ids")}, self.mesh)
+            logits, losses = self._eval_step(self.state.params, dev_batch)
+            acc.update(
+                {k: np.asarray(v) for k, v in logits.items()},
+                batch.get("v_action_ids"), batch.get("a_action_ids"),
+                {k: batch[k] for k in ("verb", "noun", "action", "class_id")
+                 if k in batch})
+            avg.update({k: float(v) for k, v in losses.items()})
+
+        stats = acc.summarize(self.dataset_name)
+        stats.update(avg.averages())
+        log_json_stats(self.logger, {"split": "val", "epoch": epoch + 1,
+                                     **stats})
+        return stats
+
+    def _best_tag(self, stats: Dict[str, float], epoch: int) -> str:
+        tags = []
+        if stats.get("action_top1", 0.0) > self.best["visual"]:
+            self.best["visual"] = stats["action_top1"]
+            self.last_best_epoch = epoch
+            tags.append("visual")
+        if stats.get("verb_noun_top1", 0.0) > self.best["visual_mt"]:
+            self.best["visual_mt"] = stats["verb_noun_top1"]
+            tags.append("mt")
+        if stats.get("audio_top1", 0.0) > self.best["audio"]:
+            self.best["audio"] = stats["audio_top1"]
+            tags.append("audio")
+        if stats.get("combined_top1", 0.0) > self.best["combined"]:
+            self.best["combined"] = stats["combined_top1"]
+            tags.append("combined")
+        return "_".join(tags) if tags else "none"
+
+    # ------------------------------------------------------------------
+    def fit(self, epochs: Optional[int] = None) -> Dict[str, float]:
+        epochs = epochs or self.tcfg.epochs
+        rng = jax.random.PRNGKey(self.tcfg.seed)
+        if self.state is None:
+            self.init_state(rng)
+        final_stats: Dict[str, float] = {}
+        for epoch in range(epochs):
+            self.train_epoch(epoch, rng)
+            stats = self.validate(epoch)
+            final_stats = stats
+            is_best = self._best_tag(stats, epoch)
+            if self.output_dir:
+                ckpt.save_checkpoint(
+                    self.output_dir, self.state, epoch=epoch + 1,
+                    extra={"val_stats": {k: float(v)
+                                         for k, v in stats.items()}},
+                    is_best=is_best)
+            if (self.tcfg.early_stop_period > 0 and
+                    epoch - self.last_best_epoch >
+                    self.tcfg.early_stop_period):
+                self.logger.info("early stop at epoch %d", epoch + 1)
+                break
+        return final_stats
+
+    # ------------------------------------------------------------------
+    def extract_predictions(self, dataset=None, path: Optional[str] = None):
+        """Window-ensembled softmax predictions per GT action — the
+        recognition feature dump (``recognition/scripts/extract_feats.py``,
+        ``meters.py:739-913``). Returns the dict; optionally pickles it."""
+        ds = dataset or self.val_ds
+        acc = WindowVoteAccumulator(
+            ds.windows.num_actions, _head_spec(self.cfg))
+        ds.sample_augmentations = False
+        for batch in batch_iterator(ds, self.tcfg.batch_size,
+                                    shuffle=False, drop_last=False):
+            dev_batch = shard_batch(
+                {k: v for k, v in batch.items()
+                 if k not in ("v_action_ids", "a_action_ids")}, self.mesh)
+            logits, _ = self._eval_step(self.state.params, dev_batch)
+            acc.update({k: np.asarray(v) for k, v in logits.items()},
+                       batch.get("v_action_ids"), batch.get("a_action_ids"),
+                       {k: batch[k] for k in
+                        ("verb", "noun", "action", "class_id")
+                        if k in batch})
+
+        # narration-id tables in action-id order
+        v_nid = {}
+        a_nid = {}
+        for w in ds.windows.windows:
+            for i, nid in zip(w.v_action_ids, w.v_narration_ids):
+                v_nid[int(i)] = nid
+            for i, nid in zip(w.a_action_ids, w.a_narration_ids):
+                a_nid[int(i)] = nid
+
+        out: Dict[str, object] = {}
+        if "action" in acc.sums:
+            scores, _ = acc.ensembled_scores("action")
+            out["action"] = scores
+            valid = np.flatnonzero(acc.v_labels[:, 2] != -1)
+            out["v_narration_ids"] = [v_nid[int(i)] for i in valid]
+        if "verb" in acc.sums:
+            out["verb"], _ = acc.ensembled_scores("verb")
+            out["noun"], _ = acc.ensembled_scores("noun")
+        if "audio" in acc.sums:
+            scores, _ = acc.ensembled_scores("audio")
+            out["audio"] = scores
+            valid = np.flatnonzero(acc.a_labels != -1)
+            out["a_narration_ids"] = [a_nid[int(i)] for i in valid]
+        if path:
+            with open(path, "wb") as f:
+                pickle.dump(out, f)
+        return out

@@ -194,6 +194,73 @@ def make_train_step(
     return train_step
 
 
+def make_val_step(
+    model: TimDetection,
+    cfg: DetectionConfig,
+    tcfg: TrainConfig,
+):
+    """Validation losses on the fixed inference grid, eval mode — the
+    reference validates via ``forward_inference(label_queries=True)`` with
+    dropout off (``detection/scripts/test.py:77-314``). The normaliser is
+    read from state but not advanced."""
+    grid = jnp.asarray(Q.generate_query_pyramid(cfg.inference_query_size))
+    nq = grid.shape[0]
+    has_visual = "visual" in cfg.data_modality
+    has_audio = "audio" in cfg.data_modality
+
+    def val_step(state: TrainState, batch: Dict):
+        batch_size = batch["times"].shape[0]
+        times = batch["times"]
+        queries = jnp.broadcast_to(grid[None], (batch_size, nq, 2))
+        if has_visual:
+            times = jnp.concatenate([times, queries], axis=1)
+        if has_audio:
+            times = jnp.concatenate([times, queries], axis=1)
+        nv = nq if has_visual else 0
+        na = nq if has_audio else 0
+
+        variables = {"params": state.params}
+        te = model.apply(variables, times, method=TimDetection.encode_times)
+        cls_logits, reg_preds, _ = model.apply(
+            variables, batch.get("v_feats"), batch.get("a_feats"), te,
+            nv, na, deterministic=True,
+            method=TimDetection.encoder_forward)
+
+        metrics = {}
+        total = jnp.float32(0.0)
+        norm = state.normaliser
+        if has_visual:
+            v_labels_raw = (
+                jnp.stack([batch["verb"], batch["noun"], batch["action"]],
+                          axis=-1)
+                if len(cfg.visual_classes) == 3
+                else batch["action"][..., None])
+            v_targets, v_labels, v_ious = Q.label_queries(
+                queries, batch["v_gt_segments"], v_labels_raw,
+                cfg.iou_threshold)
+            v_cls, v_reg, norm, _ = _modality_losses(
+                cls_logits, reg_preds[0], v_targets, v_labels, v_ious,
+                cfg, tcfg, norm, "visual")
+            metrics.update(loss_visual=v_cls, loss_visual_reg=v_reg)
+            total = total + v_cls + v_reg
+        if has_audio:
+            a_targets, a_labels, a_ious = Q.label_queries(
+                queries, batch["a_gt_segments"],
+                batch["class_id"][..., None], cfg.iou_threshold)
+            a_cls, a_reg, norm, _ = _modality_losses(
+                cls_logits, reg_preds[1], a_targets, a_labels, a_ious,
+                cfg, tcfg, norm, "audio")
+            metrics.update(loss_audio=a_cls, loss_audio_reg=a_reg)
+            if has_visual:
+                total = total + tcfg.lambda_audio * (a_cls + a_reg)
+            else:
+                total = total + a_cls + a_reg
+        metrics["loss"] = total
+        return metrics
+
+    return val_step
+
+
 def make_inference_step(
     model: TimDetection,
     cfg: DetectionConfig,
