@@ -1,0 +1,194 @@
+"""VideoMAE vision transformer (feature-extraction backbone).
+
+TPU-native rebuild of ``feature_extractors/VideoMAE/modeling_finetune.py``:
+tubelet Conv3D patch embedding, fixed sin-cos position table, pre-norm ViT
+blocks with VideoMAE's packed qkv (no k bias) and optional layer scale,
+mean-pooled ``forward_features`` -> ``fc_norm`` (1024-d for ViT-L). Used to
+produce the per-timestep visual features TIM consumes (merged with
+Omnivore via ``merge_features``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from tim_tpu.models.common import exact_gelu
+
+
+def sinusoid_position_table(n_position: int, d_hid: int) -> np.ndarray:
+    """Classic sin/cos table (``modeling_finetune.py:224-241``)."""
+    pos = np.arange(n_position)[:, None]
+    dim = np.arange(d_hid)[None, :]
+    angle = pos / np.power(10000, 2 * (dim // 2) / d_hid)
+    table = np.zeros((n_position, d_hid), np.float32)
+    table[:, 0::2] = np.sin(angle[:, 0::2])
+    table[:, 1::2] = np.cos(angle[:, 1::2])
+    return table
+
+
+class VideoMAEAttention(nn.Module):
+    """Packed qkv projection with q/v biases only (k bias fixed at zero),
+    matching the checkpoint layout (``modeling_finetune.py:75-129``)."""
+
+    dim: int
+    num_heads: int
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, n, _ = x.shape
+        d = self.dim
+        head_dim = d // self.num_heads
+        scale = head_dim ** -0.5
+
+        qkv_kernel = self.param(
+            "qkv_kernel", nn.initializers.truncated_normal(0.02),
+            (d, 3 * d), jnp.float32)
+        qkv = jnp.dot(x.astype(self.dtype), qkv_kernel.astype(self.dtype),
+                      preferred_element_type=jnp.float32)
+        if self.qkv_bias:
+            q_bias = self.param("q_bias", nn.initializers.zeros, (d,))
+            v_bias = self.param("v_bias", nn.initializers.zeros, (d,))
+            bias = jnp.concatenate([q_bias, jnp.zeros_like(q_bias), v_bias])
+            qkv = qkv + bias
+        qkv = qkv.astype(self.dtype).reshape(
+            b, n, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,N,H,dh]
+
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
+                          preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(b, n, d).astype(self.dtype)
+        return nn.Dense(d, dtype=self.dtype, param_dtype=jnp.float32,
+                        name="proj")(out)
+
+
+class ViTBlock(nn.Module):
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    init_values: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        h = VideoMAEAttention(self.dim, self.num_heads, dtype=self.dtype,
+                              name="attn")(h.astype(self.dtype))
+        if self.init_values > 0:
+            gamma_1 = self.param(
+                "gamma_1", nn.initializers.constant(self.init_values),
+                (self.dim,))
+            h = h * gamma_1.astype(self.dtype)
+        x = x + h
+
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
+                     param_dtype=jnp.float32, name="fc1")(
+                         h.astype(self.dtype))
+        h = exact_gelu(h)
+        h = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     name="fc2")(h)
+        if self.init_values > 0:
+            gamma_2 = self.param(
+                "gamma_2", nn.initializers.constant(self.init_values),
+                (self.dim,))
+            h = h * gamma_2.astype(self.dtype)
+        return x + h
+
+
+class VideoMAEViT(nn.Module):
+    """forward_features path: video [B, T, H, W, 3] -> feature [B, D]."""
+
+    img_size: int = 224
+    patch_size: int = 16
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    num_frames: int = 16
+    tubelet_size: int = 2
+    init_values: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, video):
+        b, t, h, w, c = video.shape
+        x = nn.Conv(
+            self.embed_dim,
+            kernel_size=(self.tubelet_size, self.patch_size,
+                         self.patch_size),
+            strides=(self.tubelet_size, self.patch_size, self.patch_size),
+            padding="VALID", dtype=self.dtype, param_dtype=jnp.float32,
+            name="patch_embed")(video.astype(self.dtype))
+        x = x.reshape(b, -1, self.embed_dim)
+
+        pos = sinusoid_position_table(x.shape[1], self.embed_dim)
+        x = x + jnp.asarray(pos, self.dtype)[None]
+
+        for i in range(self.depth):
+            x = ViTBlock(self.embed_dim, self.num_heads, self.mlp_ratio,
+                         self.init_values, self.dtype, name=f"block{i}")(x)
+
+        x = jnp.mean(x.astype(jnp.float32), axis=1)
+        x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="fc_norm")(x)
+        return x.astype(self.dtype)
+
+
+def videomae_vit_large(dtype="float32") -> VideoMAEViT:
+    return VideoMAEViT(embed_dim=1024, depth=24, num_heads=16,
+                       dtype=jnp.dtype(dtype))
+
+
+def params_from_torch(state_dict, depth: int = 24) -> dict:
+    """Reference VideoMAE checkpoint -> flax params. Conv3d kernels move
+    from [O, I, T, H, W] to flax's [T, H, W, I, O]."""
+
+    def _np(x):
+        return np.asarray(x.detach().cpu().numpy()
+                          if hasattr(x, "detach") else x)
+
+    sd = state_dict
+    params = {
+        "patch_embed": {
+            "kernel": _np(sd["patch_embed.proj.weight"]).transpose(
+                2, 3, 4, 1, 0),
+            "bias": _np(sd["patch_embed.proj.bias"]),
+        },
+        "fc_norm": {
+            "scale": _np(sd["fc_norm.weight"]),
+            "bias": _np(sd["fc_norm.bias"]),
+        },
+    }
+    for i in range(depth):
+        p = f"blocks.{i}"
+        block = {
+            "norm1": {"scale": _np(sd[f"{p}.norm1.weight"]),
+                      "bias": _np(sd[f"{p}.norm1.bias"])},
+            "norm2": {"scale": _np(sd[f"{p}.norm2.weight"]),
+                      "bias": _np(sd[f"{p}.norm2.bias"])},
+            "attn": {
+                "qkv_kernel": _np(sd[f"{p}.attn.qkv.weight"]).T,
+                "q_bias": _np(sd[f"{p}.attn.q_bias"]),
+                "v_bias": _np(sd[f"{p}.attn.v_bias"]),
+                "proj": {"kernel": _np(sd[f"{p}.attn.proj.weight"]).T,
+                         "bias": _np(sd[f"{p}.attn.proj.bias"])},
+            },
+            "fc1": {"kernel": _np(sd[f"{p}.mlp.fc1.weight"]).T,
+                    "bias": _np(sd[f"{p}.mlp.fc1.bias"])},
+            "fc2": {"kernel": _np(sd[f"{p}.mlp.fc2.weight"]).T,
+                    "bias": _np(sd[f"{p}.mlp.fc2.bias"])},
+        }
+        if f"{p}.gamma_1" in sd:
+            block["gamma_1"] = _np(sd[f"{p}.gamma_1"])
+            block["gamma_2"] = _np(sd[f"{p}.gamma_2"])
+        params[f"block{i}"] = block
+    return {"params": params}
