@@ -193,6 +193,49 @@ def test_pack_pathways_matches_reference_subsampling():
     np.testing.assert_allclose(np.asarray(fast), x.numpy())
 
 
+def _import_ref_swin(monkeypatch):
+    _stub_timm(monkeypatch)
+    pkg = types.ModuleType("ref_omni_models")
+    pkg.__path__ = [
+        "/root/reference/feature_extractors/omnivore/omnivore/models"]
+    swin_utils = types.ModuleType("ref_omni_models.swin_utils")
+    swin_utils.load_and_broadcast_checkpoint_list = lambda *a, **k: None
+    monkeypatch.setitem(sys.modules, "ref_omni_models", pkg)
+    monkeypatch.setitem(sys.modules, "ref_omni_models.swin_utils",
+                        swin_utils)
+    import importlib
+    return importlib.import_module("ref_omni_models.swin_transformer")
+
+
+def test_swin3d_parity(monkeypatch):
+    """Exercises window clamping (D < window D), shifted blocks with
+    boundary masks, the bias-table row-slice quirk, and patch merging."""
+    import jax.numpy as jnp
+    from tim_tpu.models.backbones import swin3d as jswin
+
+    ref_mod = _import_ref_swin(monkeypatch)
+    torch.manual_seed(0)
+    depths, heads = [2, 2], [2, 4]
+    model = ref_mod.SwinTransformer3D(
+        pretrained=None, pretrained2d=False,
+        patch_size=(2, 4, 4), embed_dim=16, depths=depths,
+        num_heads=heads, window_size=(8, 3, 3), drop_path_rate=0.0,
+        drop_rate=0.0, patch_norm=True)
+    model.eval()
+
+    x = torch.randn(2, 3, 8, 24, 24)
+    with torch.no_grad():
+        want = model(x).numpy()
+
+    jmodel = jswin.SwinTransformer3D(
+        patch_size=(2, 4, 4), embed_dim=16, depths=tuple(depths),
+        num_heads=tuple(heads), window_size=(8, 3, 3), patch_norm=True)
+    variables = jswin.params_from_torch(model.state_dict(), depths=depths)
+    xv = jnp.asarray(x.permute(0, 2, 3, 4, 1).numpy())
+    got = np.asarray(jmodel.apply(variables, xv))
+    np.testing.assert_allclose(got, want, atol=2e-4, rtol=1e-3)
+
+
 def test_sinusoid_table_matches_reference(monkeypatch):
     from tim_tpu.models.backbones.vit import sinusoid_position_table
 
