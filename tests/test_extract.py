@@ -1,0 +1,141 @@
+"""Extraction subsystem: audio frontend invariants, tables, pipeline,
+augmentations."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tim_tpu.extract import audio as A
+from tim_tpu.extract import augment as aug
+from tim_tpu.extract import pipeline as P
+from tim_tpu.extract import tables as T
+
+
+def test_mel_filterbank_properties():
+    fb = A.mel_filterbank(24000, 2048, 128)
+    assert fb.shape == (128, 1025)
+    assert (fb >= 0).all()
+    # triangular filters: each has one contiguous support region
+    for row in fb[::16]:
+        nz = np.flatnonzero(row > 0)
+        if nz.size:
+            assert (np.diff(nz) == 1).all()
+    # centers increase monotonically
+    centers = fb.argmax(axis=1)
+    assert (np.diff(centers.astype(int)) >= 0).all()
+
+
+def test_log_mel_pure_tone_peaks_at_right_mel():
+    sr = 24000
+    t = np.arange(sr) / sr
+    for freq in (440.0, 2000.0, 8000.0):
+        tone = np.sin(2 * np.pi * freq * t).astype(np.float32)
+        spec = A.log_mel_spectrogram(tone, sr)
+        assert spec.shape[1] == 128
+        mean_spec = spec.mean(axis=0)
+        peak_mel = mean_spec.argmax()
+        # expected mel bin for the tone
+        mels = A.hz_to_mel_htk(np.asarray([freq]))[0]
+        edges = np.linspace(A.hz_to_mel_htk(0.0), A.hz_to_mel_htk(sr / 2),
+                            130)
+        expect = int(np.searchsorted(edges, mels)) - 1
+        assert abs(int(peak_mel) - expect) <= 2, (freq, peak_mel, expect)
+
+
+def test_extract_clip_spectrogram_shape_and_padding():
+    sr = 24000
+    samples = np.random.default_rng(0).normal(
+        size=int(sr * 0.999)).astype(np.float32)
+    spec = A.extract_clip_spectrogram(samples, 0, len(samples),
+                                      sampling_rate=sr, num_frames=200)
+    assert spec.shape == (200, 128)
+    # short clip -> edge padded
+    short = A.extract_clip_spectrogram(samples[:sr // 10], 0, sr // 10,
+                                       sampling_rate=sr, num_frames=200)
+    assert short.shape == (200, 128)
+    np.testing.assert_allclose(short[-1], short[-2])
+
+
+def test_uniform_clip_indices():
+    s, e = A.uniform_clip_indices(1000, 200, 0, 5)
+    assert (s, e) == (0, 200)
+    s, e = A.uniform_clip_indices(1000, 200, 4, 5)
+    assert (s, e) == (800, 1000)
+    s, e = A.uniform_clip_indices(1000, 200, 0, 1)
+    assert (s, e) == (400, 600)
+
+
+def test_feature_time_table_matches_reference_scheme():
+    df = T.build_feature_time_table({"v1": 3.0}, interval=1.1, hop=0.2)
+    # starts at 0, hops 0.2 while start+interval < duration
+    assert df.iloc[0]["start_sec"] == 0.0
+    assert df.iloc[0]["stop_sec"] == 1.1
+    assert df.iloc[1]["start_sec"] == 0.2
+    assert (df["stop_sec"] - df["start_sec"]).round(2).eq(1.1).all()
+    assert df.index[0] == "v1_1"
+    assert df.iloc[-1]["stop_sec"] < 3.0 + 1e-9
+
+
+def test_extract_features_pipeline_and_merge(tmp_path):
+    import jax.numpy as jnp
+
+    def clip_fn(t, a):
+        return np.full((4, 4), t * 10 + a, np.float32)
+
+    def apply_fn(clips):
+        return jnp.mean(clips, axis=(1, 2), keepdims=False)[:, None] * \
+            jnp.ones((1, 1024))
+
+    bank = P.extract_features_for_video(clip_fn, 5, 2, apply_fn,
+                                        batch_size=3)
+    assert bank.shape == (5, 2, 1024)
+    assert bank[3, 1, 0] == pytest.approx(31.0)
+
+    # save in two dirs and merge
+    for name in ("omni", "mae"):
+        P.save_feature_bank(str(tmp_path / name), "train", "v1", bank)
+    n = P.merge_feature_dirs(str(tmp_path / "omni"), str(tmp_path / "mae"),
+                             str(tmp_path / "merged"))
+    assert n == 1
+    merged = np.load(tmp_path / "merged" / "train" / "v1.npy")
+    assert merged.shape == (5, 2, 2048)
+
+
+def test_preprocess_video_clip():
+    frames = np.random.default_rng(0).integers(
+        0, 255, (3, 120, 160, 3)).astype(np.uint8)
+    clip = P.preprocess_video_clip(frames, size=96)
+    assert clip.shape == (3, 96, 96, 3)
+    assert np.isfinite(clip).all()
+    # BGR flip: channel order reversed vs rgb version
+    rgb = P.preprocess_video_clip(frames, size=96, bgr=False)
+    np.testing.assert_allclose(clip[..., 0], rgb[..., 2], atol=1e-6)
+
+
+def test_spec_augment_preserves_shape_and_mean_fill():
+    import random as pyrandom
+    rng = pyrandom.Random(0)
+    spec = np.random.default_rng(1).normal(size=(200, 128)).astype(
+        np.float32)
+    out = aug.spec_augment(spec.copy(), rng=rng)
+    assert out.shape == spec.shape
+    assert np.isfinite(out).all()
+
+    masked = aug.freq_mask(spec.copy(), max_width=27, num_masks=1,
+                           rng=pyrandom.Random(3))
+    assert masked.shape == spec.shape
+
+
+def test_rand_augment_runs_all_ops():
+    frames = np.random.default_rng(0).integers(
+        0, 255, (2, 64, 64, 3)).astype(np.uint8)
+    ra = aug.RandAugment(magnitude=9, num_ops=2)
+    out = ra(frames)
+    assert out.shape == frames.shape
+    # every op individually produces a valid image
+    from PIL import Image
+    img = Image.fromarray(frames[0])
+    for name in aug.RAND_AUGMENT_OPS:
+        res = aug._apply_op(img, name, 7.0)
+        assert np.asarray(res).shape == (64, 64, 3)
