@@ -40,7 +40,7 @@ def main():
 
     nq = generate_query_pyramid(cfg.inference_query_size).shape[0]
     nf = cfg.num_feats
-    batch = 64
+    batch = 128
     rng = np.random.default_rng(0)
     example = {
         "v_feats": jnp.asarray(rng.normal(
