@@ -135,6 +135,58 @@ def gt_to_columns(video_ids, starts, ends, labels) -> Dict:
     }
 
 
+def two_stream_fusion(
+    video_ids: np.ndarray,
+    verb_scores: np.ndarray,        # [N, Cv]
+    noun_scores: np.ndarray,        # [N, Cn]
+    verb_proposals: np.ndarray,     # [N, 2]
+    noun_proposals: np.ndarray,     # [N, 2]
+    *,
+    verb_alpha: float = 0.65,
+    score_threshold: float = 0.03,
+    top_k: int = 3,
+    num_nouns: int = 300,
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """Fuse separately-trained verb/noun detection streams into action
+    proposals (``format_two_stream_predictions_epic.py:140-172``):
+    geometric score fusion ``v^a * n^(1-a)``, verb-confidence-weighted
+    proposal blending, action label ``verb * num_nouns + noun``."""
+    out: Dict[str, Dict[str, List]] = {}
+    n = len(video_ids)
+    for i in range(n):
+        vid = str(video_ids[i])
+        v_top = np.argpartition(verb_scores[i], -top_k)[-top_k:]
+        n_top = np.argpartition(noun_scores[i], -top_k)[-top_k:]
+        for v in v_top:
+            vs = verb_scores[i, v]
+            if vs <= score_threshold:
+                continue
+            for nn_ in n_top:
+                ns = noun_scores[i, nn_]
+                if ns <= score_threshold:
+                    continue
+                score = (vs ** verb_alpha) * (ns ** (1.0 - verb_alpha))
+                if score <= score_threshold:
+                    continue
+                w = vs / (vs + ns)
+                proposal = np.round(
+                    w * verb_proposals[i] + (1 - w) * noun_proposals[i], 3)
+                if proposal[1] - proposal[0] <= 0.0:
+                    continue
+                entry = out.setdefault(
+                    vid, {"segments": [], "scores": [], "labels": []})
+                entry["segments"].append(proposal)
+                entry["scores"].append(float(score))
+                entry["labels"].append(int(v) * num_nouns + int(nn_))
+    return {
+        vid: {
+            "segments": np.asarray(e["segments"], np.float32).reshape(-1, 2),
+            "scores": np.asarray(e["scores"], np.float32),
+            "labels": np.asarray(e["labels"], np.int64),
+        } for vid, e in out.items()
+    }
+
+
 def evaluate_detections(
     video_ids: np.ndarray,
     proposals: np.ndarray,

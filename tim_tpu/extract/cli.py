@@ -1,0 +1,216 @@
+"""Feature-extraction CLI: raw frames/audio -> per-video [T, A, D] npy.
+
+One entry point replacing the reference's three extractor programs
+(``omnivore/tools/run_net.py``, ``auditory_slowfast/tools/run_net.py``,
+``VideoMAE/feature_extraction.py``) plus their ``make_npyfiles`` reshapers:
+
+    python -m tim_tpu.extract.cli --backbone omnivore \
+        --frames_dir ... --feature_times ctx.pkl --checkpoint swinB.torch \
+        --out_dir feats/omnivore --split train [--num_aug 2]
+
+    python -m tim_tpu.extract.cli --backbone slowfast \
+        --audio_hdf5 EPIC_audio.hdf5 --feature_times a_ctx.pkl ...
+
+Checkpoints are the released torch files; conversion happens in-process.
+Multi-host sharding: pass --num_shards/--shard_id to split videos by rank
+(the reference shards VideoMAE extraction via SLURM the same way,
+``feature_extraction.py:173-181``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+from typing import Dict
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="TIM-TPU feature extraction")
+    p.add_argument("--backbone", required=True,
+                   choices=["omnivore", "videomae", "slowfast"])
+    p.add_argument("--frames_dir", default="",
+                   help="<frames_dir>/<video_id>/*.jpg")
+    p.add_argument("--audio_hdf5", default="",
+                   help="HDF5 with one float waveform dataset per video")
+    p.add_argument("--audio_dir", default="",
+                   help="directory of <video_id>.wav files")
+    p.add_argument("--feature_times", required=True,
+                   help="feature-time table pickle (make_framepickle format)")
+    p.add_argument("--checkpoint", default="",
+                   help="released torch checkpoint to convert + load")
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--split", default="train")
+    p.add_argument("--num_aug", type=int, default=1)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--fps", type=float, default=50.0)
+    p.add_argument("--sampling_rate", type=int, default=24000)
+    p.add_argument("--num_frames", type=int, default=32)
+    p.add_argument("--frame_stride", type=int, default=2)
+    p.add_argument("--crop_size", type=int, default=224)
+    p.add_argument("--num_shards", type=int, default=1)
+    p.add_argument("--shard_id", type=int, default=0)
+    p.add_argument("--compute_dtype", default="bfloat16")
+    return p
+
+
+def _load_torch_state(path: str):
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    for key in ("trunk", "model", "state_dict", "model_state"):
+        if isinstance(ckpt, dict) and key in ckpt:
+            return ckpt[key]
+    return ckpt
+
+
+def _make_visual_apply(args):
+    import jax
+    import jax.numpy as jnp
+
+    if args.backbone == "omnivore":
+        from tim_tpu.models.backbones import swin3d
+        model = swin3d.omnivore_swinB_epic(dtype=args.compute_dtype)
+        variables = swin3d.params_from_torch(
+            _load_torch_state(args.checkpoint)) if args.checkpoint else None
+    else:
+        from tim_tpu.models.backbones import vit
+        model = vit.videomae_vit_large(dtype=args.compute_dtype)
+        variables = vit.params_from_torch(
+            _load_torch_state(args.checkpoint)) if args.checkpoint else None
+    if variables is None:
+        rng = jax.random.PRNGKey(0)
+        dummy = jnp.zeros((1, args.num_frames, args.crop_size,
+                           args.crop_size, 3))
+        variables = model.init(rng, dummy)
+    return jax.jit(lambda clips: model.apply(
+        variables, clips).astype(jnp.float32))
+
+
+def _make_audio_apply(args):
+    import jax
+    import jax.numpy as jnp
+
+    from tim_tpu.models.backbones import slowfast as sf
+
+    model = sf.AuditorySlowFast()
+    if args.checkpoint:
+        variables = sf.params_from_torch(_load_torch_state(args.checkpoint))
+    else:
+        rng = jax.random.PRNGKey(0)
+        variables = model.init(rng, jnp.zeros((1, 50, 128, 1)),
+                               jnp.zeros((1, 200, 128, 1)), train=False)
+
+    def apply_fn(spectrograms):
+        slow, fast = sf.pack_pathways(spectrograms, alpha=model.alpha)
+        _, feats = model.apply(variables, slow, fast, train=False)
+        return feats.astype(jnp.float32)
+
+    return jax.jit(apply_fn)
+
+
+def extract_visual(args, table, video_ids):
+    from PIL import Image
+
+    from tim_tpu.extract.augment import RandAugment
+    from tim_tpu.extract.pipeline import (
+        extract_features_for_video, preprocess_video_clip,
+        sample_clip_frames, save_feature_bank)
+
+    apply_fn = _make_visual_apply(args)
+    magnitude = 15 if args.backbone == "omnivore" else 7
+    num_ops = 2 if args.backbone == "omnivore" else 4
+    ra = RandAugment(magnitude=magnitude, num_ops=num_ops)
+
+    for vid in video_ids:
+        frame_files = sorted(glob.glob(
+            os.path.join(args.frames_dir, vid, "*.jpg")))
+        if not frame_files:
+            print(f"skipping {vid}: no frames")
+            continue
+        rows = table[table["video_id"] == vid].sort_values("start_sec")
+
+        def clip_fn(t, a):
+            row = rows.iloc[t]
+            idx = sample_clip_frames(
+                len(frame_files), int(row["start_frame"]),
+                int(row["stop_frame"]), args.num_frames, args.frame_stride)
+            frames = np.stack([
+                np.asarray(Image.open(frame_files[i]).convert("RGB"))
+                for i in idx])
+            if a > 0:
+                frames = ra(frames)
+            return preprocess_video_clip(
+                frames, size=args.crop_size,
+                bgr=(args.backbone == "omnivore"))
+
+        bank = extract_features_for_video(
+            clip_fn, len(rows), args.num_aug, apply_fn,
+            batch_size=args.batch_size)
+        save_feature_bank(args.out_dir, args.split, vid, bank)
+        print(f"{vid}: {bank.shape}")
+
+
+def extract_audio(args, table, video_ids):
+    from tim_tpu.extract.audio import extract_clip_spectrogram
+    from tim_tpu.extract.augment import spec_augment
+    from tim_tpu.extract.pipeline import (
+        extract_features_for_video, save_feature_bank)
+
+    apply_fn = _make_audio_apply(args)
+    sr = args.sampling_rate
+
+    def load_waveform(vid) -> np.ndarray:
+        if args.audio_hdf5:
+            import h5py
+            with h5py.File(args.audio_hdf5, "r") as f:
+                return np.asarray(f[vid], np.float32)
+        from scipy.io import wavfile
+        rate, data = wavfile.read(
+            os.path.join(args.audio_dir, f"{vid}.wav"))
+        assert rate == sr, f"{vid}: {rate} != {sr}"
+        if data.dtype.kind == "i":
+            data = data.astype(np.float32) / np.iinfo(data.dtype).max
+        if data.ndim > 1:
+            data = data.mean(axis=1)
+        return data.astype(np.float32)
+
+    for vid in video_ids:
+        samples = load_waveform(vid)
+        rows = table[table["video_id"] == vid].sort_values("start_sec")
+
+        def clip_fn(t, a):
+            row = rows.iloc[t]
+            start = int(round(row["start_sec"] * sr))
+            end = start + int(round(0.999 * sr))
+            spec = extract_clip_spectrogram(
+                samples, start, min(end, len(samples)), sampling_rate=sr)
+            if a > 0:
+                spec = spec_augment(spec)
+            return spec[..., None]  # [T, F, 1]
+
+        bank = extract_features_for_video(
+            clip_fn, len(rows), args.num_aug, apply_fn,
+            batch_size=args.batch_size)
+        save_feature_bank(args.out_dir, args.split, vid, bank)
+        print(f"{vid}: {bank.shape}")
+
+
+def main(argv=None):
+    import pandas as pd
+
+    args = build_parser().parse_args(argv)
+    table = pd.read_pickle(args.feature_times)
+    video_ids = sorted(table["video_id"].unique().tolist())
+    video_ids = video_ids[args.shard_id::args.num_shards]
+
+    if args.backbone in ("omnivore", "videomae"):
+        extract_visual(args, table, video_ids)
+    else:
+        extract_audio(args, table, video_ids)
+
+
+if __name__ == "__main__":
+    main()
