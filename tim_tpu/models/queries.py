@@ -32,6 +32,11 @@ def generate_query_pyramid(query_size: float) -> np.ndarray:
         starts = np.arange(0.0, 1.0, step=size / 2, dtype=np.float32)
         ends = starts + np.float32(size)
         level = np.stack([starts, ends], axis=-1)
+        # float32 rounding matches torch.round(decimals=3); the only
+        # residual divergence vs the reference is a 1-ulp arange
+        # difference on the finest (0.005) train-pool level, which can
+        # flip a 0.0005 rounding boundary by 0.001 — immaterial (the pool
+        # is randomly subsampled and IoU-thresholded at 0.6).
         levels.append(np.round(level, 3))
         size *= 2
     return np.concatenate(levels, axis=0).astype(np.float32)
