@@ -26,6 +26,30 @@ def test_structured_equals_dense(num_ctx, nq):
         np.asarray(out_struct), np.asarray(out_dense), atol=1e-5, rtol=1e-5)
 
 
+def test_pallas_query_block_matches_jnp():
+    """Fused VMEM kernel (interpret mode on CPU) vs the jnp query block."""
+    from tim_tpu.ops.pallas_attention import query_block_attention
+
+    b, h, nq, f, dh = 2, 4, 300, 20, 16
+    rng = np.random.default_rng(1)
+    qq = jnp.asarray(rng.normal(size=(b, h, nq, dh)), jnp.float32)
+    kc = jnp.asarray(rng.normal(size=(b, h, f, dh)), jnp.float32)
+    kq = jnp.asarray(rng.normal(size=(b, h, nq, dh)), jnp.float32)
+    vc = jnp.asarray(rng.normal(size=(b, h, f, dh)), jnp.float32)
+    vq = jnp.asarray(rng.normal(size=(b, h, nq, dh)), jnp.float32)
+
+    got = query_block_attention(qq, kc, kq, vc, vq, tile_q=128,
+                                interpret=True)
+
+    # oracle: full structured attention, query rows only
+    q = jnp.concatenate([kc * 0, qq], axis=2)  # context rows unused
+    k = jnp.concatenate([kc, kq], axis=2)
+    v = jnp.concatenate([vc, vq], axis=2)
+    want = tim_attention(q, k, v, f)[:, :, f:]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-4)
+
+
 def test_mask_semantics_match_reference():
     """allowed = context columns + diagonal (tim.py:161-166, inverted)."""
     s, f = 7, 3

@@ -147,6 +147,33 @@ def test_end_to_end_detection_eval_perfect_predictions():
     assert len(submission["results"]) == 3
 
 
+def test_validate_submission():
+    from tim_tpu.evals.format_predictions import (
+        SubmissionError, validate_submission)
+
+    good = {
+        "version": "0.2", "challenge": "action_detection",
+        "results": {"v1": [{"action": 2, "score": 0.5,
+                            "segment": [1.0, 2.0]}]},
+    }
+    validate_submission(good, num_classes=5, video_ids=["v1"])
+
+    with pytest.raises(SubmissionError, match="Missing 'version'"):
+        validate_submission({"challenge": "x", "results": {}})
+    with pytest.raises(SubmissionError, match="not supported"):
+        validate_submission({**good, "version": "9.9"})
+    bad_seg = {**good, "results": {"v1": [
+        {"action": 2, "score": 0.5, "segment": [2.0, 1.0]}]}}
+    with pytest.raises(SubmissionError, match="Invalid segment"):
+        validate_submission(bad_seg)
+    bad_cls = {**good, "results": {"v1": [
+        {"action": 9, "score": 0.5, "segment": [1.0, 2.0]}]}}
+    with pytest.raises(SubmissionError, match="invalid action class"):
+        validate_submission(bad_cls, num_classes=5)
+    with pytest.raises(SubmissionError, match="Missing results"):
+        validate_submission(good, video_ids=["v1", "v2"])
+
+
 def test_threshold_predictions_drops_empty_and_expands_multilabel():
     vids = np.asarray(["a", "a", "b"], object)
     props = np.asarray([[0, 1], [2, 2], [3, 5]], np.float32)

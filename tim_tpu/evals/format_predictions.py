@@ -135,6 +135,64 @@ def gt_to_columns(video_ids, starts, ends, labels) -> Dict:
     }
 
 
+class SubmissionError(ValueError):
+    """Raised when a challenge submission dict is malformed."""
+
+
+VALID_VERSIONS = ("0.1", "0.2")
+VALID_CHALLENGES = ("action_detection", "audio_based_interaction_detection")
+
+
+def validate_submission(
+    submission: Dict,
+    task: str = "action",
+    num_classes: Optional[int] = None,
+    video_ids: Optional[Sequence[str]] = None,
+) -> None:
+    """Schema validation of a challenge submission (the role of the
+    exception machinery in ``evaluate_detection_json_ek100.py:317-573``):
+    version/challenge tags, per-entry task label + score + ordered segment,
+    label range, and (optionally) video-id coverage. Raises
+    ``SubmissionError`` with a precise message."""
+    for prop in ("version", "challenge", "results"):
+        if prop not in submission:
+            raise SubmissionError(f"Missing '{prop}' property")
+    if submission["version"] not in VALID_VERSIONS:
+        raise SubmissionError(
+            f"Submission version '{submission['version']}' is not "
+            f"supported, valid versions: {', '.join(VALID_VERSIONS)}")
+    if submission["challenge"] not in VALID_CHALLENGES:
+        raise SubmissionError(
+            f"Challenge '{submission['challenge']}' is not supported, "
+            f"valid challenges: {', '.join(VALID_CHALLENGES)}")
+    results = submission["results"]
+    if not isinstance(results, dict):
+        raise SubmissionError("'results' must map video_id -> entries")
+    if video_ids is not None:
+        missing = set(video_ids) - set(results)
+        if missing:
+            raise SubmissionError(
+                f"Missing results for video ids: {sorted(missing)[:10]}")
+    for vid, entries in results.items():
+        for i, e in enumerate(entries):
+            for prop in (task, "score", "segment"):
+                if prop not in e:
+                    raise SubmissionError(
+                        f"Missing '{prop}' property for {vid}[{i}]")
+            seg = e["segment"]
+            if len(seg) != 2 or not seg[0] < seg[1]:
+                raise SubmissionError(
+                    f"Invalid segment {seg} for {vid}[{i}]")
+            if num_classes is not None:
+                label = e[task]
+                if isinstance(label, str):
+                    continue  # "verb,noun" composite labels
+                if not (0 <= int(label) < num_classes):
+                    raise SubmissionError(
+                        f"Found invalid {task} class '{label}' "
+                        f"for {vid}[{i}]")
+
+
 def two_stream_fusion(
     video_ids: np.ndarray,
     verb_scores: np.ndarray,        # [N, Cv]
