@@ -1,0 +1,60 @@
+"""On-device window gather == host dataset assembly."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tim_tpu.data import synthetic
+from tim_tpu.data.dataset import FeatureStore, RecognitionDataset
+from tim_tpu.data.device_bank import (
+    DeviceFeatureBank, gather_window_batch, window_index_table)
+from tim_tpu.data.windows import build_recognition_windows, normalize_actions
+
+
+def test_device_gather_matches_host_dataset():
+    b = synthetic.synthetic_epic(seed=1, num_videos=2, video_seconds=40.0,
+                                 per_video=6, visual_dim=16, audio_dim=12)
+    v_norm = normalize_actions(b["v_actions"], "visual")
+    a_norm = normalize_actions(b["a_actions"], "audio")
+    ws = build_recognition_windows(
+        v_norm, a_norm, b["video_info"], b["v_feat_times"],
+        num_feats=6, feat_stride=2, feat_gap=0.2)
+
+    v_store = FeatureStore(b["v_feats"], b["v_feat_times"])
+    a_store = FeatureStore(b["a_feats"], b["a_feat_times"])
+    ds = RecognitionDataset(ws, v_store, a_store,
+                            sample_augmentations=False)
+
+    v_bank = DeviceFeatureBank(b["v_feats"])
+    a_bank = DeviceFeatureBank(b["a_feats"])
+    table = window_index_table(ws, v_bank)
+    assert table.shape == (len(ws.windows), 6)
+
+    idx = jnp.asarray(table[:4])
+    v, a = gather_window_batch(v_bank, a_bank, idx, rng=None)
+    for i in range(4):
+        host = ds[i]
+        np.testing.assert_allclose(np.asarray(v[i]), host["v_feats"],
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(a[i]), host["a_feats"],
+                                   atol=1e-6)
+
+
+def test_device_gather_aug_sampling_under_jit():
+    feats = {"v": np.arange(5 * 3 * 4, dtype=np.float32).reshape(5, 3, 4)}
+    bank = DeviceFeatureBank(feats)
+
+    @jax.jit
+    def step(idx, rng):
+        v, _ = gather_window_batch(bank, None, idx, rng=rng)
+        return v
+
+    idx = jnp.asarray([[0, 2], [1, 4]], jnp.int32)
+    out = np.asarray(step(idx, jax.random.PRNGKey(0)))
+    assert out.shape == (2, 2, 4)
+    # each gathered row equals one of the augmentation sets of that index
+    for bi in range(2):
+        for fi in range(2):
+            row = out[bi, fi]
+            cands = feats["v"][int(idx[bi, fi])]
+            assert any(np.allclose(row, c) for c in cands)
