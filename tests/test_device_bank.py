@@ -40,6 +40,68 @@ def test_device_gather_matches_host_dataset():
                                    atol=1e-6)
 
 
+def test_bank_train_step_matches_host_step():
+    from tim_tpu import config as C
+    from tim_tpu.models import TimRecognition
+    from tim_tpu.train import recognition as rec_train
+    from tim_tpu.train.optim import make_optimizer
+    from tim_tpu.train.state import create_train_state
+
+    b = synthetic.synthetic_epic(seed=2, num_videos=2, video_seconds=40.0,
+                                 per_video=6, visual_dim=16, audio_dim=12,
+                                 visual_classes=(5, 6, 4), audio_classes=3)
+    # single augmentation set so the two paths see identical features
+    v_feats = {k: v[:, :1] for k, v in b["v_feats"].items()}
+    a_feats = {k: v[:, :1] for k, v in b["a_feats"].items()}
+    v_norm = normalize_actions(b["v_actions"], "visual")
+    a_norm = normalize_actions(b["a_actions"], "audio")
+    ws = build_recognition_windows(
+        v_norm, a_norm, b["video_info"], b["v_feat_times"],
+        num_feats=6, feat_stride=2, feat_gap=0.2)
+
+    cfg = C.ModelConfig(
+        visual_classes=(5, 6, 4), audio_classes=3,
+        visual_input_dim=16, audio_input_dim=12, d_model=16, nhead=2,
+        num_layers=1, num_feats=6, compute_dtype="float32")
+    tcfg = C.TrainConfig(mixup_alpha=0.0, lambda_drloc=0.0)
+    model = TimRecognition(cfg)
+    nv, na = ws.max_visual_actions, ws.max_audio_actions
+
+    v_store = FeatureStore(v_feats, b["v_feat_times"])
+    a_store = FeatureStore(a_feats, b["a_feat_times"])
+    ds = RecognitionDataset(ws, v_store, a_store,
+                            sample_augmentations=False)
+    from tim_tpu.data.dataset import batch_iterator
+    host_batch = next(batch_iterator(ds, 4, shuffle=False))
+    host_batch = {k: jnp.asarray(v) for k, v in host_batch.items()
+                  if k not in ("v_action_ids", "a_action_ids")}
+
+    v_bank = DeviceFeatureBank(v_feats)
+    a_bank = DeviceFeatureBank(a_feats)
+    table = window_index_table(ws, v_bank)
+    bank_batch = {k: v for k, v in host_batch.items()
+                  if k not in ("v_feats", "a_feats")}
+    bank_batch["feat_indices"] = jnp.asarray(table[:4])
+
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng}, host_batch["v_feats"],
+        host_batch["a_feats"], host_batch["times"], nv, na,
+        deterministic=True)
+    tx = make_optimizer(1e-3, 1e-4, 10, 2)
+
+    s0 = create_train_state(variables["params"], tx)
+    host_step = jax.jit(rec_train.make_train_step(model, cfg, tcfg, nv, na))
+    _, m0 = host_step(s0, host_batch, rng)
+
+    s1 = create_train_state(variables["params"], tx)
+    bank_step = jax.jit(rec_train.make_bank_train_step(
+        model, cfg, tcfg, nv, na, v_bank, a_bank))
+    _, m1 = bank_step(s1, bank_batch, rng)
+
+    assert float(m0["loss"]) == float(m1["loss"])
+
+
 def test_device_gather_aug_sampling_under_jit():
     feats = {"v": np.arange(5 * 3 * 4, dtype=np.float32).reshape(5, 3, 4)}
     bank = DeviceFeatureBank(feats)

@@ -42,7 +42,10 @@ def cross_entropy(
     logits = logits.astype(jnp.float32)
     logp = jax.nn.log_softmax(logits, axis=-1)
 
-    valid = labels != ignore_index
+    # Out-of-range labels are treated as ignored rather than producing a
+    # silent OOB gather (torch raises; raising is impossible under jit).
+    valid = (labels != ignore_index) & (labels >= 0) & \
+        (labels < num_classes)
     safe_labels = jnp.where(valid, labels, 0)
     nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
     smooth = -jnp.mean(logp, axis=-1)

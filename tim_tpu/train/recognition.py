@@ -139,6 +139,38 @@ def make_train_step(
     return train_step
 
 
+def make_bank_train_step(
+    model: TimRecognition,
+    cfg: ModelConfig,
+    tcfg: TrainConfig,
+    num_v_queries: int,
+    num_a_queries: int,
+    v_bank=None,
+    a_bank=None,
+):
+    """Train step reading features from device-resident banks
+    (``tim_tpu.data.device_bank``): the batch carries ``feat_indices``
+    [B, F] int32 instead of feature tensors; the gather (+ per-token
+    augmentation-set sampling) runs inside the same jit graph."""
+    from tim_tpu.data.device_bank import gather_window_batch
+
+    base = make_train_step(model, cfg, tcfg, num_v_queries, num_a_queries)
+
+    def step(state: TrainState, batch: Dict, rng: jax.Array):
+        aug_rng = jax.random.fold_in(
+            jax.random.fold_in(rng, state.step), 7)
+        v, a = gather_window_batch(
+            v_bank, a_bank, batch["feat_indices"], rng=aug_rng)
+        full = {k: v2 for k, v2 in batch.items() if k != "feat_indices"}
+        if v is not None:
+            full["v_feats"] = v
+        if a is not None:
+            full["a_feats"] = a
+        return base(state, full, rng)
+
+    return step
+
+
 def optax_global_norm(tree):
     leaves = jax.tree_util.tree_leaves(tree)
     return jnp.sqrt(sum(jnp.sum(jnp.square(x)) for x in leaves))
