@@ -57,8 +57,9 @@ class DetectionRunner:
             warmup_steps=steps_per_epoch * tcfg.warmup_epochs,
             min_lr=tcfg.min_lr, clip_norm=tcfg.clip_norm)
 
+        # donate the train state: params/optimizer buffers update in place
         self._train_step = jax.jit(steps.make_train_step(
-            self.model, cfg, tcfg))
+            self.model, cfg, tcfg), donate_argnums=(0,))
         self._val_step = jax.jit(steps.make_val_step(self.model, cfg, tcfg))
         self._infer_step = jax.jit(steps.make_inference_step(
             self.model, cfg))

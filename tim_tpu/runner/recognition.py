@@ -74,8 +74,9 @@ class RecognitionRunner:
             warmup_steps=steps_per_epoch * tcfg.warmup_epochs,
             min_lr=tcfg.min_lr, clip_norm=tcfg.clip_norm)
 
+        # donate the train state: params/optimizer buffers update in place
         self._train_step = jax.jit(steps.make_train_step(
-            self.model, cfg, tcfg, self.nv, self.na))
+            self.model, cfg, tcfg, self.nv, self.na), donate_argnums=(0,))
         self._eval_step = jax.jit(steps.make_eval_step(
             self.model, cfg, tcfg, self.nv, self.na))
 
