@@ -66,6 +66,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-b", "--batch-size", dest="batch_size", type=int,
                    default=64)
     p.add_argument("--pretrained_model", default="")
+    p.add_argument("--resume", default="",
+                   help="checkpoint dir/file for full training resume")
     p.add_argument("--lambda_drloc", type=float, default=0.3)
     p.add_argument("--mixup_alpha", type=float, default=0.2)
     p.add_argument("--lambda_audio", type=float, default=1.0)
@@ -251,9 +253,10 @@ def main(argv=None):
                  output_dir=str(args.output_dir),
                  print_freq=args.print_freq)
     runner.init_state(pretrained=args.pretrained_model or None)
+    start_epoch = runner.resume(args.resume) if args.resume else 0
 
     if args.train:
-        runner.fit()
+        runner.fit(start_epoch=start_epoch)
     elif args.validate:
         stats = runner.validate()
         print(stats)

@@ -18,6 +18,7 @@ maxima, ready for fixed-shape batching.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence
 
@@ -92,6 +93,25 @@ class WindowSet:
 
 
 LABEL_COLS = ("verb_class", "noun_class", "action_class", "class_id")
+
+
+def save_window_set(path: str, ws: "WindowSet") -> None:
+    """Cache a precomputed WindowSet (role of the reference's
+    ``precomputed_windows/*.pth``, ``sliding_window.py:288-307``)."""
+    import pickle
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        pickle.dump(ws, f)
+
+
+def load_window_set(path: str) -> Optional["WindowSet"]:
+    import pickle
+
+    if not os.path.exists(path):
+        return None
+    with open(path, "rb") as f:
+        return pickle.load(f)
 
 
 def normalize_actions(

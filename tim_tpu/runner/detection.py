@@ -99,6 +99,16 @@ class DetectionRunner:
         self.state = shard_train_state(state, self.mesh)
         return self.state
 
+    def resume(self, path: str) -> int:
+        """Full training resume (params + optimizer + step + normaliser),
+        returns the epoch to continue from."""
+        if self.state is None:
+            self.init_state()
+        payload = ckpt.load_checkpoint(path)
+        self.state = shard_train_state(
+            ckpt.restore_train_state(self.state, payload), self.mesh)
+        return int(payload.get("epoch", 0))
+
     def load_torch_checkpoint(self, state_dict):
         from tim_tpu.convert import detection_params_from_torch
         variables = detection_params_from_torch(
@@ -149,13 +159,14 @@ class DetectionRunner:
         return stats
 
     # ------------------------------------------------------------------
-    def fit(self, epochs: Optional[int] = None) -> Dict[str, float]:
+    def fit(self, epochs: Optional[int] = None,
+            start_epoch: int = 0) -> Dict[str, float]:
         epochs = epochs or self.tcfg.epochs
         rng = jax.random.PRNGKey(self.tcfg.seed)
         if self.state is None:
             self.init_state(rng)
         final: Dict[str, float] = {}
-        for epoch in range(epochs):
+        for epoch in range(start_epoch, epochs):
             self.train_epoch(epoch, rng)
             stats = self.validate(epoch)
             final = stats
