@@ -33,8 +33,9 @@ def make_mesh(data: int = -1, model: int = 1,
     devices = list(devices if devices is not None else jax.devices())
     if data == -1:
         data = len(devices) // model
-    assert data * model == len(devices), (
-        f"mesh {data}x{model} != {len(devices)} devices")
+    assert data * model <= len(devices), (
+        f"mesh {data}x{model} needs more than {len(devices)} devices")
+    devices = devices[:data * model]
     arr = mesh_utils.create_device_mesh((data, model), devices=devices)
     return Mesh(arr, ("data", "model"))
 
