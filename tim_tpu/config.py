@@ -55,6 +55,8 @@ class ModelConfig:
 
     # Numerics: matmuls/activations run in this dtype; params stay fp32.
     compute_dtype: str = "bfloat16"
+    # Rematerialize encoder layers in backward (memory <-> FLOPs trade).
+    remat: bool = False
 
     @property
     def encoder_width(self) -> int:

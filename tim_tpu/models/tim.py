@@ -72,6 +72,7 @@ class _TimBase(nn.Module):
             num_layers=cfg.num_layers,
             dropout=cfg.enc_dropout,
             dtype=dtype,
+            remat=cfg.remat,
             name="encoder",
         )
 

@@ -62,7 +62,10 @@ class SelfAttention(nn.Module):
 
 
 class EncoderLayer(nn.Module):
-    """Post-norm block: x = LN(x + drop(attn(x))); x = LN(x + drop(ff(x)))."""
+    """Post-norm block: x = LN(x + drop(attn(x))); x = LN(x + drop(ff(x))).
+
+    ``num_ctx``/``deterministic`` are positional so nn.remat can mark them
+    static (argnums 2 and 3, with self at 0)."""
 
     d_model: int
     nhead: int
@@ -71,7 +74,7 @@ class EncoderLayer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, num_ctx: int, *, deterministic: bool = True):
+    def __call__(self, x, num_ctx: int, deterministic: bool = True):
         attn = SelfAttention(
             self.d_model, self.nhead, self.dropout, self.dtype,
             name="self_attn",
@@ -91,7 +94,11 @@ class EncoderLayer(nn.Module):
 
 
 class Encoder(nn.Module):
-    """Stack of ``num_layers`` post-norm encoder layers."""
+    """Stack of ``num_layers`` post-norm encoder layers.
+
+    ``remat=True`` rematerializes each layer in the backward pass
+    (``jax.checkpoint``), trading ~30% more FLOPs for O(1)-layer activation
+    memory — the TPU-native lever for very large window batches."""
 
     d_model: int
     nhead: int
@@ -99,12 +106,16 @@ class Encoder(nn.Module):
     num_layers: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, num_ctx: int, *, deterministic: bool = True):
+        layer_cls = EncoderLayer
+        if self.remat:
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(2, 3))
         for i in range(self.num_layers):
-            x = EncoderLayer(
+            x = layer_cls(
                 self.d_model, self.nhead, self.dim_feedforward,
                 self.dropout, self.dtype, name=f"layer{i}",
-            )(x, num_ctx, deterministic=deterministic)
+            )(x, num_ctx, deterministic)
         return x
