@@ -61,15 +61,25 @@ def main():
                            deterministic=True)
     params = variables["params"]
 
-    # warmup + compile
-    out = infer(params, example)
-    jax.block_until_ready(out)
-
+    # Timing methodology: chain the iterations *inside one jit* with a
+    # data dependency and fetch a scalar at the end. Per-call host timing
+    # is unreliable here: block_until_ready does not actually block on the
+    # axon relay backend, and a host fetch per call adds ~30 ms of tunnel
+    # RTT. The chained loop measures pure device throughput.
     iters = 30
+
+    @jax.jit
+    def chained(params, ex):
+        def body(_, carry):
+            perturbed = dict(ex)
+            perturbed["v_feats"] = ex["v_feats"] + carry
+            out = infer(params, perturbed)
+            return jnp.max(out["v_scores"]) * jnp.float32(1e-6)
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    float(chained(params, example))  # compile + warm
     start = time.perf_counter()
-    for _ in range(iters):
-        out = infer(params, example)
-    jax.block_until_ready(out)
+    float(chained(params, example))
     elapsed = time.perf_counter() - start
 
     windows_per_sec = batch * iters / elapsed

@@ -57,6 +57,9 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"
     # Rematerialize encoder layers in backward (memory <-> FLOPs trade).
     remat: bool = False
+    # Int8 serving: encoder + class-head matmuls run int8 (weights from
+    # ``ops.quant.quantize_params``); inference only.
+    quantized_inference: bool = False
 
     @property
     def encoder_width(self) -> int:

@@ -63,6 +63,35 @@ class TorchLinear(nn.Module):
         return (y + bias.astype(jnp.float32)).astype(self.dtype)
 
 
+class Int8Dense(nn.Module):
+    """Drop-in Dense for quantized inference: int8 per-out-channel weights
+    + dynamic per-row activation quantization (``tim_tpu/ops/quant.py``).
+    Params (kernel_q, kernel_scale, bias) are produced offline by
+    ``quantize_params`` from a trained fp32 tree."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        from tim_tpu.ops.quant import int8_matmul
+
+        fan_in = x.shape[-1]
+        kernel_q = self.param(
+            "kernel_q", lambda k, s: jnp.zeros(s, jnp.int8),
+            (fan_in, self.features))
+        scale = self.param(
+            "kernel_scale", nn.initializers.ones, (self.features,),
+            jnp.float32)
+        y = int8_matmul(x, kernel_q, scale)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias
+        return y.astype(self.dtype)
+
+
 class MLP(nn.Module):
     """Stack of TorchLinear+ReLU used by time_mlp / drloc / reg heads."""
 

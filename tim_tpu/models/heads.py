@@ -17,14 +17,17 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
-from tim_tpu.models.common import MLP, TorchLinear, torch_linear_kernel_init
+from tim_tpu.models.common import (
+    Int8Dense, MLP, TorchLinear, torch_linear_kernel_init)
 
 FOCAL_BIAS = -math.log((1 - 0.01) / 0.01)
 
 
-def _focal_linear(features: int, dtype, name: str):
+def _focal_linear(features: int, dtype, name: str, quantized: bool = False):
     """Linear whose bias starts at the RetinaNet prior
     (``detection/.../head.py:12-25``)."""
+    if quantized:
+        return Int8Dense(features, dtype=dtype, name=name)
     return nn.Dense(
         features, dtype=dtype, param_dtype=jnp.float32,
         kernel_init=torch_linear_kernel_init,
@@ -42,10 +45,14 @@ class RecognitionClsHead(nn.Module):
     visual_classes: Optional[Tuple[int, ...]]
     audio_classes: Optional[int]
     dtype: jnp.dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, num_v_queries: int, num_a_queries: int):
         s = x.shape[1]
+        dense = (lambda n, name: Int8Dense(n, dtype=self.dtype, name=name)) \
+            if self.quantized else \
+            (lambda n, name: TorchLinear(n, dtype=self.dtype, name=name))
         include_vn = (self.visual_classes is not None
                       and len(self.visual_classes) == 3)
         aud_start = s - num_a_queries if num_a_queries > 0 else s
@@ -56,15 +63,15 @@ class RecognitionClsHead(nn.Module):
             if include_vn:
                 noun_start = act_start - num_v_queries
                 verb_start = noun_start - num_v_queries
-                verb = TorchLinear(self.visual_classes[0], dtype=self.dtype,
-                                   name="fc_verb")(x[:, verb_start:noun_start])
-                noun = TorchLinear(self.visual_classes[1], dtype=self.dtype,
-                                   name="fc_noun")(x[:, noun_start:act_start])
-            action = TorchLinear(self.visual_classes[-1], dtype=self.dtype,
-                                 name="fc_action")(x[:, act_start:aud_start])
+                verb = dense(self.visual_classes[0],
+                             "fc_verb")(x[:, verb_start:noun_start])
+                noun = dense(self.visual_classes[1],
+                             "fc_noun")(x[:, noun_start:act_start])
+            action = dense(self.visual_classes[-1],
+                           "fc_action")(x[:, act_start:aud_start])
         if self.audio_classes is not None and num_a_queries > 0:
-            audio = TorchLinear(self.audio_classes, dtype=self.dtype,
-                                name="fc_audio")(x[:, aud_start:])
+            audio = dense(self.audio_classes,
+                          "fc_audio")(x[:, aud_start:])
         return verb, noun, action, audio
 
 
@@ -74,6 +81,7 @@ class DetectionClsHead(nn.Module):
     visual_classes: Optional[Tuple[int, ...]]
     audio_classes: Optional[int]
     dtype: jnp.dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, num_v_queries: int, num_a_queries: int):
@@ -87,14 +95,14 @@ class DetectionClsHead(nn.Module):
             include_vn = len(self.visual_classes) == 3
             if include_vn:
                 verb = _focal_linear(self.visual_classes[0], self.dtype,
-                                     "fc_verb")(vx)
+                                     "fc_verb", self.quantized)(vx)
                 noun = _focal_linear(self.visual_classes[1], self.dtype,
-                                     "fc_noun")(vx)
+                                     "fc_noun", self.quantized)(vx)
             action = _focal_linear(self.visual_classes[-1], self.dtype,
-                                   "fc_action")(vx)
+                                   "fc_action", self.quantized)(vx)
         if self.audio_classes is not None and num_a_queries > 0:
             audio = _focal_linear(self.audio_classes, self.dtype,
-                                  "fc_audio")(x[:, aud_start:])
+                                  "fc_audio", self.quantized)(x[:, aud_start:])
         return verb, noun, action, audio
 
 

@@ -73,6 +73,7 @@ class _TimBase(nn.Module):
             dropout=cfg.enc_dropout,
             dtype=dtype,
             remat=cfg.remat,
+            quantized=cfg.quantized_inference,
             name="encoder",
         )
 
@@ -123,7 +124,7 @@ class TimRecognition(_TimBase):
         aud = cfg.audio_classes if "audio" in cfg.data_modality else None
         self.cls_head = RecognitionClsHead(
             visual_classes=vis, audio_classes=aud, dtype=_dtype_of(cfg),
-            name="cls_head")
+            quantized=cfg.quantized_inference, name="cls_head")
 
     def encoder_forward(
         self, v_feats, a_feats, time_encodings,
@@ -167,7 +168,7 @@ class TimDetection(_TimBase):
         dtype = _dtype_of(cfg)
         self.cls_head = DetectionClsHead(
             visual_classes=vis, audio_classes=aud, dtype=dtype,
-            name="cls_head")
+            quantized=cfg.quantized_inference, name="cls_head")
         self.reg_head = DetectionRegHead(
             has_visual=vis is not None, has_audio=aud is not None,
             d_model=cfg.encoder_width, dtype=dtype, name="reg_head")

@@ -16,7 +16,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 import flax.linen as nn
 
-from tim_tpu.models.common import TorchLinear, exact_gelu, xavier_uniform
+from tim_tpu.models.common import (
+    Int8Dense, TorchLinear, exact_gelu, xavier_uniform)
 from tim_tpu.ops.attention import tim_attention
 
 
@@ -32,6 +33,7 @@ class SelfAttention(nn.Module):
     nhead: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, num_ctx: int, *, deterministic: bool = True):
@@ -39,6 +41,8 @@ class SelfAttention(nn.Module):
         dh = self.d_model // self.nhead
 
         def proj(name):
+            if self.quantized:
+                return Int8Dense(self.d_model, dtype=self.dtype, name=name)
             return nn.Dense(
                 self.d_model, dtype=self.dtype, param_dtype=jnp.float32,
                 kernel_init=xavier_uniform, name=name,
@@ -72,22 +76,24 @@ class EncoderLayer(nn.Module):
     dim_feedforward: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, num_ctx: int, deterministic: bool = True):
         attn = SelfAttention(
             self.d_model, self.nhead, self.dropout, self.dtype,
-            name="self_attn",
+            self.quantized, name="self_attn",
         )(x, num_ctx, deterministic=deterministic)
         x = x + nn.Dropout(self.dropout, deterministic=deterministic)(attn)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         x = x.astype(self.dtype)
 
-        h = TorchLinear(self.dim_feedforward, dtype=self.dtype,
-                        name="linear1")(x)
+        dense = Int8Dense if self.quantized else TorchLinear
+        h = dense(self.dim_feedforward, dtype=self.dtype,
+                  name="linear1")(x)
         h = exact_gelu(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = TorchLinear(self.d_model, dtype=self.dtype, name="linear2")(h)
+        h = dense(self.d_model, dtype=self.dtype, name="linear2")(h)
         x = x + nn.Dropout(self.dropout, deterministic=deterministic)(h)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
         return x.astype(self.dtype)
@@ -107,6 +113,7 @@ class Encoder(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, num_ctx: int, *, deterministic: bool = True):
@@ -116,6 +123,6 @@ class Encoder(nn.Module):
         for i in range(self.num_layers):
             x = layer_cls(
                 self.d_model, self.nhead, self.dim_feedforward,
-                self.dropout, self.dtype, name=f"layer{i}",
+                self.dropout, self.dtype, self.quantized, name=f"layer{i}",
             )(x, num_ctx, deterministic)
         return x
