@@ -146,11 +146,12 @@ class RecognitionRunner:
                 timer.net_toc()
                 timer.iter_toc()
                 avg.update(metrics)
+                from tim_tpu.utils.memory import memory_summary
                 self.logger.info(
                     "epoch %d iter %d | loss %.4f | iter %.3fs "
-                    "(data %.3fs net %.3fs)",
+                    "(data %.3fs net %.3fs) | %s",
                     epoch + 1, i, metrics["loss"], timer.iter_time,
-                    timer.data_time, timer.net_time)
+                    timer.data_time, timer.net_time, memory_summary())
             timer.iter_tic()
         stats = avg.averages()
         log_json_stats(self.logger, {"split": "train", "epoch": epoch + 1,
