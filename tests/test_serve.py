@@ -1,0 +1,49 @@
+"""DetectionServer: one-call untrimmed-video detection."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tim_tpu import config as C
+from tim_tpu.models import TimDetection
+from tim_tpu.models.queries import generate_query_pyramid
+from tim_tpu.serve import DetectionServer
+
+
+def test_detect_video_end_to_end():
+    cfg = C.DetectionConfig(
+        visual_classes=(4,), audio_classes=3,
+        visual_input_dim=16, audio_input_dim=12, d_model=16, nhead=2,
+        num_layers=1, num_feats=6, compute_dtype="float32",
+        inference_query_size=0.2)
+    nq = generate_query_pyramid(cfg.inference_query_size).shape[0]
+    model = TimDetection(cfg)
+    rng = jax.random.PRNGKey(0)
+    t_dummy = jnp.zeros((1, 12 + 2 * nq, 2))
+    params = model.init(
+        {"params": rng, "dropout": rng}, jnp.zeros((1, 6, 16)),
+        jnp.zeros((1, 6, 12)), t_dummy, nq, nq,
+        deterministic=True)["params"]
+
+    server = DetectionServer(cfg, params, feat_stride=2, feat_gap=0.2,
+                             batch_size=4)
+    duration = 20.0
+    nfeat = 95
+    starts = np.linspace(0, duration - 1.1, nfeat).astype(np.float32)
+    feat_times = np.stack([starts, starts + 1.1], -1)
+    rnd = np.random.default_rng(0)
+    v = rnd.normal(size=(nfeat, 16)).astype(np.float32)
+    a = rnd.normal(size=(nfeat, 12)).astype(np.float32)
+
+    dets = server.detect_video(v, a, feat_times, duration,
+                               score_threshold=0.01)
+    assert dets["segments"].shape[1] == 2
+    assert len(dets["segments"]) == len(dets["scores"]) == \
+        len(dets["labels"])
+    if len(dets["segments"]):
+        assert (dets["segments"][:, 1] > dets["segments"][:, 0]).all()
+        assert dets["segments"].min() >= -1e-3
+        assert dets["segments"].max() <= duration + server.window_size
+        # score-sorted
+        assert (np.diff(dets["scores"]) <= 1e-6).all()
+        assert dets["labels"].max() < 4
