@@ -5,9 +5,39 @@ import jax
 import jax.numpy as jnp
 
 from tim_tpu import config as C
-from tim_tpu.models import TimDetection
+from tim_tpu.models import TimDetection, TimRecognition
 from tim_tpu.models.queries import generate_query_pyramid
-from tim_tpu.serve import DetectionServer
+from tim_tpu.serve import DetectionServer, RecognitionServer
+
+
+def test_classify_intervals_end_to_end():
+    cfg = C.ModelConfig(
+        visual_classes=(5, 6, 4), audio_classes=3,
+        visual_input_dim=16, audio_input_dim=12, d_model=16, nhead=2,
+        num_layers=1, num_feats=6, compute_dtype="float32")
+    model = TimRecognition(cfg)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(
+        {"params": rng, "dropout": rng}, jnp.zeros((1, 6, 16)),
+        jnp.zeros((1, 6, 12)), jnp.zeros((1, 14, 2)), 1, 1,
+        deterministic=True)["params"]
+
+    server = RecognitionServer(cfg, params, feat_stride=2, feat_gap=0.2,
+                               ensemble=3, batch_size=8)
+    nfeat = 90
+    starts = np.linspace(0, 18.0, nfeat).astype(np.float32)
+    feat_times = np.stack([starts, starts + 1.1], -1)
+    rnd = np.random.default_rng(0)
+    v = rnd.normal(size=(nfeat, 16)).astype(np.float32)
+    a = rnd.normal(size=(nfeat, 12)).astype(np.float32)
+    intervals = np.asarray([[1.0, 2.5], [5.0, 5.8], [15.0, 17.0]],
+                           np.float32)
+
+    out = server.classify_intervals(v, a, feat_times, intervals)
+    for head, classes in (("verb", 5), ("noun", 6), ("action", 4),
+                          ("audio", 3)):
+        assert out[head].shape == (3, classes)
+        np.testing.assert_allclose(out[head].sum(-1), 1.0, atol=1e-5)
 
 
 def test_detect_video_end_to_end():

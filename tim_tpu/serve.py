@@ -28,6 +28,129 @@ from tim_tpu.models.queries import generate_query_pyramid
 from tim_tpu.train.detection import make_inference_step
 
 
+class RecognitionServer:
+    """Classify given [start, end] intervals of an untrimmed video with
+    window-vote ensembling: each interval is answered from up to
+    ``ensemble`` windows that contain it, logits are averaged and
+    softmaxed (the reference's InferenceMeter mechanic as a serving call).
+    """
+
+    def __init__(
+        self,
+        cfg,
+        params,
+        *,
+        feat_stride: int = 3,
+        feat_gap: float = 0.2,
+        window_stride: float = 1.0,
+        ensemble: int = 5,
+        batch_size: int = 64,
+    ):
+        from tim_tpu.models import TimRecognition
+
+        self.cfg = cfg
+        self.params = params
+        self.feat_stride = feat_stride
+        self.window_stride = window_stride
+        self.window_size = cfg.num_feats * feat_gap * feat_stride
+        self.ensemble = ensemble
+        self.batch_size = batch_size
+        self.model = TimRecognition(cfg)
+
+        self._nv = 1 if "visual" in cfg.data_modality else 0
+        self._na = 1 if "audio" in cfg.data_modality else 0
+
+        def forward(params, v, a, times):
+            logits, _ = self.model.apply(
+                {"params": params}, v, a, times, self._nv, self._na,
+                deterministic=True)
+            return logits
+
+        self._forward = jax.jit(forward)
+
+    def _covering_windows(self, start: float, end: float) -> np.ndarray:
+        """Up to ``ensemble`` window starts whose window contains (or best
+        clips) the interval."""
+        lo = max(0.0, end - self.window_size)
+        lo = math.ceil(lo / self.window_stride) * self.window_stride
+        hi = max(start, 0.0)
+        starts = np.arange(lo, hi + 1e-6, self.window_stride)
+        if len(starts) == 0:
+            starts = np.asarray([max(0.0, start)])
+        if len(starts) > self.ensemble:
+            sel = np.linspace(0, len(starts) - 1, self.ensemble).astype(int)
+            starts = starts[sel]
+        return starts
+
+    def classify_intervals(
+        self,
+        v_feats: Optional[np.ndarray],      # [T, Dv]
+        a_feats: Optional[np.ndarray],      # [T, Da]
+        feat_times: np.ndarray,             # [T, >=2]
+        intervals: np.ndarray,              # [N, 2] video-time
+    ) -> Dict[str, np.ndarray]:
+        """Returns per-head softmax scores [N, C]."""
+        nf = self.cfg.num_feats
+        jobs = [(float(ws), qi)
+                for qi, (s, e) in enumerate(intervals)
+                for ws in self._covering_windows(float(s), float(e))]
+        n = len(intervals)
+        sums: Dict[str, np.ndarray] = {}
+        counts = np.zeros(n)
+
+        for i in range(0, len(jobs), self.batch_size):
+            chunk = jobs[i:i + self.batch_size]
+            pad = self.batch_size - len(chunk)
+            chunk_p = chunk + [chunk[-1]] * pad
+
+            feats_v, feats_a, batch_times = [], [], []
+            for ws, qi in chunk_p:
+                idx = window_feat_indices(
+                    feat_times, ws,
+                    min(ws + self.window_size, feat_times[-1, 1]),
+                    self.feat_stride, nf)
+                t_parts = []
+                if v_feats is not None:
+                    feats_v.append(v_feats[idx])
+                    t_parts.append(feat_times[idx, :2])
+                if a_feats is not None:
+                    feats_a.append(a_feats[idx])
+                    t_parts.append(feat_times[idx, :2])
+                q = intervals[qi][None].astype(np.float32)
+                t = np.concatenate(
+                    t_parts + [q] * (self._nv + self._na), axis=0)
+                batch_times.append(np.clip(
+                    (t - ws) / self.window_size, 0.0, None))
+
+            logits = self._forward(
+                self.params,
+                jnp.asarray(np.stack(feats_v), jnp.float32)
+                if feats_v else None,
+                jnp.asarray(np.stack(feats_a), jnp.float32)
+                if feats_a else None,
+                jnp.asarray(np.stack(batch_times), jnp.float32))
+
+            for name, lg in zip(("verb", "noun", "action", "audio"),
+                                logits):
+                if lg is None:
+                    continue
+                lg = np.asarray(lg, np.float32)[:, 0]     # [B, C]
+                if name not in sums:
+                    sums[name] = np.zeros((n, lg.shape[-1]))
+                for row, (ws, qi) in enumerate(chunk):
+                    sums[name][qi] += lg[row]
+            for ws, qi in chunk:
+                counts[qi] += 1
+
+        out = {}
+        denom = np.maximum(counts, 1.0)[:, None]
+        for name, s in sums.items():
+            mean = s / denom
+            e = np.exp(mean - mean.max(-1, keepdims=True))
+            out[name] = e / e.sum(-1, keepdims=True)
+        return out
+
+
 class DetectionServer:
     def __init__(
         self,
