@@ -245,11 +245,17 @@ def batch_iterator(
 
     for i in range(0, len(order), batch_size):
         chunk = order[i:i + batch_size]
+        pad = 0
         if len(chunk) < batch_size:
             if drop_last:
                 return
-            # pad by repeating the first window; callers mask via labels
-            chunk = np.concatenate(
-                [chunk, np.full(batch_size - len(chunk), chunk[0])])
+            # pad by repeating the first window; "_pad" tells consumers how
+            # many trailing rows are duplicates (metric accumulators must
+            # skip them or they double-count)
+            pad = batch_size - len(chunk)
+            chunk = np.concatenate([chunk, np.full(pad, chunk[0])])
         examples = [dataset[int(j)] for j in chunk]
-        yield {k: np.stack([e[k] for e in examples]) for k in examples[0]}
+        batch = {k: np.stack([e[k] for e in examples])
+                 for k in examples[0]}
+        batch["_pad"] = pad
+        yield batch

@@ -127,6 +127,7 @@ class DetectionRunner:
         for i, batch in enumerate(batch_iterator(
                 self.train_ds, self.tcfg.batch_size, shuffle=True,
                 rng=epoch_rng)):
+            batch.pop("_pad", None)
             batch = shard_batch(batch, self.mesh)
             self.state, metrics = self._train_step(self.state, batch, rng)
             if i % self.print_freq == 0:
@@ -149,6 +150,7 @@ class DetectionRunner:
         self.val_ds.sample_augmentations = False
         for batch in batch_iterator(self.val_ds, self.tcfg.batch_size,
                                     shuffle=False):
+            batch.pop("_pad", None)
             batch = shard_batch(batch, self.mesh)
             metrics = self._val_step(self.state, batch)
             avg.update({k: float(v) for k, v in metrics.items()
@@ -202,6 +204,7 @@ class DetectionRunner:
         idx = 0
         for batch in batch_iterator(ds, self.tcfg.batch_size,
                                     shuffle=False, drop_last=False):
+            batch.pop("_pad", None)
             n = batch["times"].shape[0]
             out = self._infer_step(self.state.params, shard_batch(
                 batch, self.mesh))

@@ -138,6 +138,7 @@ class RecognitionRunner:
                             shuffle=True, rng=epoch_rng)
         timer.iter_tic()
         for i, batch in enumerate(it):
+            batch.pop("_pad", None)
             batch = shard_batch(batch, self.mesh)
             timer.data_toc()
             self.state, metrics = self._train_step(self.state, batch, rng)
@@ -168,14 +169,21 @@ class RecognitionRunner:
         it = batch_iterator(self.val_ds, self.tcfg.batch_size,
                             shuffle=False, drop_last=False)
         for batch in it:
+            pad = batch.pop("_pad", 0)
+            take = self.tcfg.batch_size - pad
             dev_batch = shard_batch(
                 {k: v for k, v in batch.items()
                  if k not in ("v_action_ids", "a_action_ids")}, self.mesh)
             logits, losses = self._eval_step(self.state.params, dev_batch)
+            # padded duplicate rows must not vote twice
             acc.update(
-                {k: np.asarray(v) for k, v in logits.items()},
-                batch.get("v_action_ids"), batch.get("a_action_ids"),
-                {k: batch[k] for k in ("verb", "noun", "action", "class_id")
+                {k: np.asarray(v)[:take] for k, v in logits.items()},
+                batch.get("v_action_ids", np.zeros((0, 0)))[:take]
+                if "v_action_ids" in batch else None,
+                batch.get("a_action_ids", np.zeros((0, 0)))[:take]
+                if "a_action_ids" in batch else None,
+                {k: batch[k][:take]
+                 for k in ("verb", "noun", "action", "class_id")
                  if k in batch})
             avg.update({k: float(v) for k, v in losses.items()})
 
@@ -239,13 +247,19 @@ class RecognitionRunner:
         ds.sample_augmentations = False
         for batch in batch_iterator(ds, self.tcfg.batch_size,
                                     shuffle=False, drop_last=False):
+            pad = batch.pop("_pad", 0)
+            take = self.tcfg.batch_size - pad
             dev_batch = shard_batch(
                 {k: v for k, v in batch.items()
                  if k not in ("v_action_ids", "a_action_ids")}, self.mesh)
             logits, _ = self._eval_step(self.state.params, dev_batch)
-            acc.update({k: np.asarray(v) for k, v in logits.items()},
-                       batch.get("v_action_ids"), batch.get("a_action_ids"),
-                       {k: batch[k] for k in
+            acc.update({k: np.asarray(v)[:take]
+                        for k, v in logits.items()},
+                       batch.get("v_action_ids", np.zeros((0, 0)))[:take]
+                       if "v_action_ids" in batch else None,
+                       batch.get("a_action_ids", np.zeros((0, 0)))[:take]
+                       if "a_action_ids" in batch else None,
+                       {k: batch[k][:take] for k in
                         ("verb", "noun", "action", "class_id")
                         if k in batch})
 
