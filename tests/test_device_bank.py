@@ -102,6 +102,45 @@ def test_bank_train_step_matches_host_step():
     assert float(m0["loss"]) == float(m1["loss"])
 
 
+def test_device_window_tables_match_host_dataset():
+    from tim_tpu.data.device_bank import DeviceWindowTables
+
+    b = synthetic.synthetic_epic(seed=3, num_videos=2, video_seconds=40.0,
+                                 per_video=6, visual_dim=16, audio_dim=12,
+                                 visual_classes=(5, 6, 4), audio_classes=3)
+    v_feats = {k: v[:, :1] for k, v in b["v_feats"].items()}
+    a_feats = {k: v[:, :1] for k, v in b["a_feats"].items()}
+    v_norm = normalize_actions(b["v_actions"], "visual")
+    a_norm = normalize_actions(b["a_actions"], "audio")
+    ws = build_recognition_windows(
+        v_norm, a_norm, b["video_info"], b["v_feat_times"],
+        num_feats=6, feat_stride=2, feat_gap=0.2)
+
+    v_bank = DeviceFeatureBank(v_feats)
+    a_bank = DeviceFeatureBank(a_feats)
+    tables = DeviceWindowTables(ws, v_bank, a_bank,
+                                b["v_feat_times"], b["a_feat_times"])
+
+    ds = RecognitionDataset(
+        ws, FeatureStore(v_feats, b["v_feat_times"]),
+        FeatureStore(a_feats, b["a_feat_times"]),
+        sample_augmentations=False)
+
+    ids = jnp.asarray([0, len(ws.windows) // 2, len(ws.windows) - 1])
+    batch = jax.jit(tables.batch)(ids)
+    for j, i in enumerate(np.asarray(ids)):
+        host = ds[int(i)]
+        np.testing.assert_allclose(np.asarray(batch["times"][j]),
+                                   host["times"], atol=1e-6)
+        for key in ("verb", "noun", "action", "class_id"):
+            np.testing.assert_array_equal(np.asarray(batch[key][j]),
+                                          host[key])
+        v, a = gather_window_batch(v_bank, a_bank,
+                                   batch["feat_indices"][j:j + 1], None)
+        np.testing.assert_allclose(np.asarray(v[0]), host["v_feats"],
+                                   atol=1e-6)
+
+
 def test_device_gather_aug_sampling_under_jit():
     feats = {"v": np.arange(5 * 3 * 4, dtype=np.float32).reshape(5, 3, 4)}
     bank = DeviceFeatureBank(feats)

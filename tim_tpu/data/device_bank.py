@@ -74,6 +74,77 @@ def window_index_table(windows: WindowSet,
     ]).astype(np.int32)
 
 
+class DeviceWindowTables:
+    """Everything a recognition train step needs, resident on device:
+    per-window feature-row indices, normalized times, padded labels. A
+    batch is then just [B] window ids — the host does nothing but shuffle
+    integers."""
+
+    def __init__(self, windows: WindowSet,
+                 v_bank: Optional[DeviceFeatureBank],
+                 a_bank: Optional[DeviceFeatureBank],
+                 v_feat_times: Optional[Dict[str, np.ndarray]] = None,
+                 a_feat_times: Optional[Dict[str, np.ndarray]] = None):
+        ws = windows
+        nv, na = ws.max_visual_actions, ws.max_audio_actions
+        n = len(ws.windows)
+        ref_bank = v_bank or a_bank
+        feat_idx = np.stack([
+            ref_bank.global_indices(w.video_id, w.feat_indices)
+            for w in ws.windows]).astype(np.int32)
+
+        nf = feat_idx.shape[1]
+        n_mod = (v_bank is not None) + (a_bank is not None)
+        t_rows = n_mod * nf + nv + na
+        times = np.zeros((n, t_rows, 2), np.float32)
+        verb = -np.ones((n, nv), np.int32)
+        noun = -np.ones((n, nv), np.int32)
+        action = -np.ones((n, nv), np.int32)
+        class_id = -np.ones((n, na), np.int32)
+
+        # feature times (reference normalization: (t - start) / window_size,
+        # clamped at 0)
+        for i, w in enumerate(ws.windows):
+            row = 0
+            for bank, ft in ((v_bank, v_feat_times), (a_bank, a_feat_times)):
+                if bank is None:
+                    continue
+                assert ft is not None, "feat_times required per modality"
+                times[i, row:row + nf] = ft[w.video_id][w.feat_indices, :2]
+                row += nf
+            vq = np.zeros((nv, 2), np.float32)
+            vq[:len(w.v_queries)] = w.v_queries
+            aq = np.zeros((na, 2), np.float32)
+            aq[:len(w.a_queries)] = w.a_queries
+            times[i, row:row + nv] = vq
+            times[i, row + nv:] = aq
+            times[i] = np.clip(
+                (times[i] - w.start_sec) / ws.window_size, 0.0, None)
+            verb[i, :len(w.v_labels)] = w.v_labels[:, 0]
+            noun[i, :len(w.v_labels)] = w.v_labels[:, 1]
+            action[i, :len(w.v_labels)] = w.v_labels[:, 2]
+            class_id[i, :len(w.a_labels)] = w.a_labels[:, 3]
+
+        self.feat_indices = jnp.asarray(feat_idx)
+        self.times = jnp.asarray(times)
+        self.labels = {
+            "verb": jnp.asarray(verb), "noun": jnp.asarray(noun),
+            "action": jnp.asarray(action),
+            "class_id": jnp.asarray(class_id),
+        }
+        self.num_windows = n
+
+    def batch(self, window_ids: jnp.ndarray) -> dict:
+        """Gather a fixed-shape batch for [B] window ids (jit-compatible)."""
+        out = {
+            "feat_indices": jnp.take(self.feat_indices, window_ids, axis=0),
+            "times": jnp.take(self.times, window_ids, axis=0),
+        }
+        for k, v in self.labels.items():
+            out[k] = jnp.take(v, window_ids, axis=0)
+        return out
+
+
 def gather_window_batch(
     v_bank: Optional[DeviceFeatureBank],
     a_bank: Optional[DeviceFeatureBank],
