@@ -114,6 +114,22 @@ def shard_batch(batch, mesh: Mesh):
             x, sh if np.ndim(x) >= 1 else scalar), batch)
 
 
+def prefetch_to_device(batch_iter, mesh: Mesh, size: int = 2):
+    """Overlap host batch assembly + H2D transfer with device compute:
+    ``jax.device_put`` is asynchronous, so keeping ``size`` sharded batches
+    in flight hides the input pipeline behind the previous step (the role
+    of the reference's pinned-memory DataLoader workers)."""
+    import collections
+
+    queue = collections.deque()
+    for batch in batch_iter:
+        queue.append(shard_batch(batch, mesh))
+        if len(queue) >= size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 def shard_train_state(state, mesh: Mesh):
     """Place a TrainState: params per rules; optimizer moments inherit the
     sharding of the param they track (matched by trailing dict path);

@@ -17,6 +17,7 @@ from tim_tpu.evals.meters import LossAverager
 from tim_tpu.models import TimDetection
 from tim_tpu.models.queries import generate_query_pyramid
 from tim_tpu.parallel import make_mesh, shard_batch, shard_train_state
+from tim_tpu.parallel.mesh import prefetch_to_device
 from tim_tpu.train import checkpoint as ckpt
 from tim_tpu.train import detection as steps
 from tim_tpu.train.optim import make_optimizer
@@ -124,11 +125,15 @@ class DetectionRunner:
     def train_epoch(self, epoch: int, rng: jax.Array) -> Dict[str, float]:
         avg = LossAverager()
         epoch_rng = np.random.default_rng(self.tcfg.seed + epoch)
-        for i, batch in enumerate(batch_iterator(
-                self.train_ds, self.tcfg.batch_size, shuffle=True,
-                rng=epoch_rng)):
-            batch.pop("_pad", None)
-            batch = shard_batch(batch, self.mesh)
+        def strip_pad(it):
+            for b in it:
+                b.pop("_pad", None)
+                yield b
+
+        for i, batch in enumerate(prefetch_to_device(
+                strip_pad(batch_iterator(
+                    self.train_ds, self.tcfg.batch_size, shuffle=True,
+                    rng=epoch_rng)), self.mesh)):
             self.state, metrics = self._train_step(self.state, batch, rng)
             if i % self.print_freq == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}

@@ -19,6 +19,7 @@ from tim_tpu.data.dataset import RecognitionDataset, batch_iterator
 from tim_tpu.evals.meters import LossAverager, WindowVoteAccumulator
 from tim_tpu.models import TimRecognition
 from tim_tpu.parallel import make_mesh, shard_batch, shard_train_state
+from tim_tpu.parallel.mesh import prefetch_to_device
 from tim_tpu.train import checkpoint as ckpt
 from tim_tpu.train import recognition as steps
 from tim_tpu.train.optim import make_optimizer
@@ -134,12 +135,17 @@ class RecognitionRunner:
         timer = PhaseTimer()
         avg = LossAverager()
         epoch_rng = np.random.default_rng(self.tcfg.seed + epoch)
-        it = batch_iterator(self.train_ds, self.tcfg.batch_size,
-                            shuffle=True, rng=epoch_rng)
+        def strip_pad(it):
+            for b in it:
+                b.pop("_pad", None)
+                yield b
+
+        it = prefetch_to_device(
+            strip_pad(batch_iterator(self.train_ds, self.tcfg.batch_size,
+                                     shuffle=True, rng=epoch_rng)),
+            self.mesh)
         timer.iter_tic()
         for i, batch in enumerate(it):
-            batch.pop("_pad", None)
-            batch = shard_batch(batch, self.mesh)
             timer.data_toc()
             self.state, metrics = self._train_step(self.state, batch, rng)
             if i % self.print_freq == 0:
