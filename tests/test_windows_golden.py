@@ -95,6 +95,78 @@ def bundle():
     return synthetic.synthetic_epic(seed=3, num_videos=3, per_video=14)
 
 
+def _edge_case_bundle():
+    """Adversarial annotations: actions clipped at video end, actions just
+    above/below the 0.2 s partial-query minimum, near-window-length
+    actions, dense overlaps."""
+    import pandas as pd
+
+    b = synthetic.synthetic_epic(seed=9, num_videos=2, per_video=4,
+                                 video_seconds=30.0)
+    rows = []
+    for vid, dur in b["durations"].items():
+        for start, end in [
+            (0.0, 0.25),              # tiny action at video start
+            (dur - 0.3, dur + 2.0),   # runs past the video end (clipped)
+            (1.05, 1.24),             # 0.19s: below min partial size
+            (2.0, 2.21),              # 0.21s: just above
+            (0.5, dur - 0.5),         # nearly video-length
+            (5.0, 5.0 + 3.99),        # just under a 4s window
+            (5.1, 5.1 + 3.99),        # heavy overlap with previous
+        ]:
+            rows.append({
+                "video_id": vid,
+                "start_timestamp": synthetic._fmt_ts(start),
+                "stop_timestamp": synthetic._fmt_ts(min(end, dur + 2.0)),
+                "verb_class": 1, "noun_class": 2, "action_class": 3,
+                "narration": "edge",
+            })
+    df = pd.DataFrame(rows)
+    df.index = pd.Index([f"e{i:04d}" for i in range(len(df))],
+                        name="narration_id")
+    b["v_actions"] = df
+    return b
+
+
+@pytest.mark.parametrize("case", ["seed5", "edges"])
+def test_recognition_windows_fuzz(case, tmp_path, monkeypatch):
+    """Golden parity on additional random + adversarial annotation sets."""
+    bundle = (synthetic.synthetic_epic(seed=5, num_videos=2, per_video=20,
+                                       video_seconds=61.0)
+              if case == "seed5" else _edge_case_bundle())
+    ref = _import_reference_dataset(REF_REC, tmp_path, monkeypatch)
+    paths = _write_bundle(bundle, tmp_path)
+    monkeypatch.chdir(tmp_path)
+
+    ref_ds = ref.SlidingWindowDataset(
+        v_data_path=str(tmp_path / "vfeats"),
+        a_data_path=str(tmp_path / "afeats"),
+        v_action_labels_pickle=str(paths["v_actions"]),
+        a_action_labels_pickle=str(paths["a_actions"]),
+        v_context_labels_pickle=str(paths["v_ctx"]),
+        a_context_labels_pickle=str(paths["a_ctx"]),
+        video_info_pkl=str(paths["video_info"]),
+        num_feats=10, feat_stride=2, feat_gap=0.2, mode="train",
+    )
+    v_norm = normalize_actions(bundle["v_actions"], "visual")
+    a_norm = normalize_actions(bundle["a_actions"], "audio")
+    ours = build_recognition_windows(
+        v_norm, a_norm, bundle["video_info"], bundle["v_feat_times"],
+        num_feats=10, feat_stride=2, feat_gap=0.2)
+
+    assert len(ours.windows) == len(ref_ds.windows)
+    assert ours.max_visual_actions == ref_ds.max_visual_actions
+    assert ours.max_audio_actions == ref_ds.max_audio_actions
+    for mine, theirs in zip(ours.windows, ref_ds.windows):
+        np.testing.assert_array_equal(
+            mine.feat_indices, theirs["feat_indices"].numpy())
+        np.testing.assert_allclose(
+            mine.v_queries, theirs["v_queries"].numpy(), atol=1e-5)
+        np.testing.assert_array_equal(
+            mine.v_labels, theirs["v_labels"].numpy())
+        assert mine.v_narration_ids == theirs["v_narration_ids"]
+
+
 def test_recognition_windows_match_reference(bundle, tmp_path, monkeypatch):
     ref = _import_reference_dataset(REF_REC, tmp_path, monkeypatch)
     paths = _write_bundle(bundle, tmp_path)
