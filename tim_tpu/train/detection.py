@@ -277,16 +277,25 @@ def make_inference_step(
     def infer_step(params, batch):
         variables = {"params": params}
         batch_size = batch["times"].shape[0]
-        times = batch["times"]
         queries = jnp.broadcast_to(grid[None], (batch_size, nq, 2))
-        if has_visual:
-            times = jnp.concatenate([times, queries], axis=1)
-        if has_audio:
-            times = jnp.concatenate([times, queries], axis=1)
         nv = nq if has_visual else 0
         na = nq if has_audio else 0
 
-        te = model.apply(variables, times, method=TimDetection.encode_times)
+        # The query grid is identical for every window: encode its time
+        # intervals once and broadcast, instead of pushing B copies
+        # through the 3-layer time MLP.
+        te_feat = model.apply(variables, batch["times"],
+                              method=TimDetection.encode_times)
+        te_query = model.apply(variables, grid[None],
+                               method=TimDetection.encode_times)
+        te_query = jnp.broadcast_to(
+            te_query, (batch_size,) + te_query.shape[1:])
+        parts = [te_feat]
+        if has_visual:
+            parts.append(te_query)
+        if has_audio:
+            parts.append(te_query)
+        te = jnp.concatenate(parts, axis=1)
         cls_logits, reg_preds, _ = model.apply(
             variables, batch.get("v_feats"), batch.get("a_feats"), te,
             nv, na, deterministic=True,
