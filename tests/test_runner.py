@@ -65,6 +65,30 @@ def test_recognition_runner_fit_and_extract(bundle, tmp_path):
     assert (tmp_path / "preds.pkl").exists()
 
 
+def test_recognition_runner_device_bank(bundle, tmp_path):
+    """fit() via the HBM-resident bank path (batch = window ids)."""
+    v_norm = normalize_actions(bundle["v_actions"], "visual")
+    a_norm = normalize_actions(bundle["a_actions"], "audio")
+    ws = build_recognition_windows(
+        v_norm, a_norm, bundle["video_info"], bundle["v_feat_times"],
+        num_feats=6, feat_stride=2, feat_gap=0.2)
+    v_store, a_store = _stores(bundle)
+    train_ds = RecognitionDataset(ws, v_store, a_store)
+    val_ds = RecognitionDataset(ws, v_store, a_store,
+                                sample_augmentations=False)
+    cfg = C.ModelConfig(
+        visual_classes=(5, 6, 4), audio_classes=3,
+        visual_input_dim=24, audio_input_dim=16, d_model=16, nhead=2,
+        num_layers=1, num_feats=6, compute_dtype="float32")
+    tcfg = C.TrainConfig(batch_size=8, epochs=1, warmup_epochs=0,
+                         lr=1e-3, mixup_alpha=0.0, lambda_drloc=0.0)
+    runner = RecognitionRunner(cfg, tcfg, train_ds, val_ds,
+                               print_freq=5, use_device_bank=True)
+    stats = runner.fit()
+    assert np.isfinite(stats["loss_action"])
+    assert "action_top1" in stats
+
+
 def test_detection_runner_fit_and_map(bundle, tmp_path):
     num_feats = 8
     window_size = num_feats * 2 * 0.2

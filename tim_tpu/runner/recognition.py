@@ -51,6 +51,7 @@ class RecognitionRunner:
         output_dir: Optional[str] = None,
         dataset_name: str = "epic",
         print_freq: int = 100,
+        use_device_bank: bool = False,
     ):
         self.cfg = cfg
         self.tcfg = tcfg
@@ -80,6 +81,31 @@ class RecognitionRunner:
             self.model, cfg, tcfg, self.nv, self.na), donate_argnums=(0,))
         self._eval_step = jax.jit(steps.make_eval_step(
             self.model, cfg, tcfg, self.nv, self.na))
+
+        # Device-bank training path: the whole split lives in HBM and a
+        # batch is just window ids (tim_tpu/data/device_bank.py).
+        self._bank_step = None
+        if use_device_bank and train_ds is not None:
+            from tim_tpu.data.device_bank import (
+                DeviceFeatureBank, DeviceWindowTables)
+            v_bank = (DeviceFeatureBank(train_ds.visual.feats)
+                      if train_ds.visual is not None else None)
+            a_bank = (DeviceFeatureBank(train_ds.audio.feats)
+                      if train_ds.audio is not None else None)
+            self._tables = DeviceWindowTables(
+                train_ds.windows, v_bank, a_bank,
+                train_ds.visual.feat_times
+                if train_ds.visual is not None else None,
+                train_ds.audio.feat_times
+                if train_ds.audio is not None else None)
+            bank_step = steps.make_bank_train_step(
+                self.model, cfg, tcfg, self.nv, self.na, v_bank, a_bank)
+            tables = self._tables
+
+            def step_by_ids(state, window_ids, rng):
+                return bank_step(state, tables.batch(window_ids), rng)
+
+            self._bank_step = jax.jit(step_by_ids, donate_argnums=(0,))
 
         self.state = None
         self.best = {"visual": 0.0, "visual_mt": 0.0, "audio": 0.0,
@@ -132,6 +158,8 @@ class RecognitionRunner:
     # ------------------------------------------------------------------
     def train_epoch(self, epoch: int, rng: jax.Array) -> Dict[str, float]:
         assert self.state is not None
+        if self._bank_step is not None:
+            return self._train_epoch_banked(epoch, rng)
         timer = PhaseTimer()
         avg = LossAverager()
         epoch_rng = np.random.default_rng(self.tcfg.seed + epoch)
@@ -160,6 +188,25 @@ class RecognitionRunner:
                     epoch + 1, i, metrics["loss"], timer.iter_time,
                     timer.data_time, timer.net_time, memory_summary())
             timer.iter_tic()
+        stats = avg.averages()
+        log_json_stats(self.logger, {"split": "train", "epoch": epoch + 1,
+                                     **stats})
+        return stats
+
+    def _train_epoch_banked(self, epoch: int,
+                            rng: jax.Array) -> Dict[str, float]:
+        avg = LossAverager()
+        epoch_rng = np.random.default_rng(self.tcfg.seed + epoch)
+        order = epoch_rng.permutation(self._tables.num_windows)
+        bs = self.tcfg.batch_size
+        for i in range(0, len(order) - bs + 1, bs):
+            ids = jnp.asarray(order[i:i + bs], jnp.int32)
+            self.state, metrics = self._bank_step(self.state, ids, rng)
+            if (i // bs) % self.print_freq == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                avg.update(metrics)
+                self.logger.info("epoch %d iter %d | loss %.4f (banked)",
+                                 epoch + 1, i // bs, metrics["loss"])
         stats = avg.averages()
         log_json_stats(self.logger, {"split": "train", "epoch": epoch + 1,
                                      **stats})
