@@ -89,6 +89,47 @@ def test_recognition_runner_device_bank(bundle, tmp_path):
     assert "action_top1" in stats
 
 
+def test_detection_runner_device_bank(bundle):
+    num_feats = 8
+    window_size = num_feats * 2 * 0.2
+    v_norm = normalize_actions(bundle["v_actions"], "visual",
+                               detection=True, window_size=window_size)
+    a_norm = normalize_actions(bundle["a_actions"], "audio",
+                               detection=True, window_size=window_size)
+    ws = build_detection_windows(
+        v_norm, a_norm, bundle["video_info"], bundle["v_feat_times"],
+        num_feats=num_feats, feat_stride=2, feat_gap=0.2)
+    v_store, a_store = _stores(bundle)
+    train_ds = DetectionDataset(ws, v_store, a_store,
+                                include_verb_noun=False,
+                                dataset_name="synthetic")
+    cfg = C.DetectionConfig(
+        visual_classes=(4,), audio_classes=3,
+        visual_input_dim=24, audio_input_dim=16, d_model=16, nhead=2,
+        num_layers=1, num_feats=num_feats, compute_dtype="float32",
+        train_query_size=0.1, inference_query_size=0.2)
+    tcfg = C.TrainConfig(batch_size=8, epochs=1, warmup_epochs=0,
+                         lr=1e-3, lambda_drloc=0.0, normaliser_init=10.0)
+    runner = DetectionRunner(cfg, tcfg, train_ds, train_ds, print_freq=5,
+                             use_device_bank=True)
+    runner.init_state()
+    stats = runner.train_epoch(0, __import__("jax").random.PRNGKey(0))
+    assert np.isfinite(stats["loss"])
+
+    # banked batch matches the host dataset example exactly (aug=1)
+    host = train_ds[3]
+    import jax.numpy as jnp
+    bank_batch = runner._tables.batch(jnp.asarray([3]))
+    np.testing.assert_allclose(np.asarray(bank_batch["times"][0]),
+                               host["times"], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(bank_batch["v_gt_segments"][0]),
+                               host["v_gt_segments"], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(bank_batch["action"][0]),
+                                  host["action"])
+    assert float(bank_batch["window_start"][0]) == float(
+        host["window_start"])
+
+
 def test_detection_runner_fit_and_map(bundle, tmp_path):
     num_feats = 8
     window_size = num_feats * 2 * 0.2

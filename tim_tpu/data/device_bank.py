@@ -145,6 +145,98 @@ class DeviceWindowTables:
         return out
 
 
+class DetectionWindowTables:
+    """Detection split resident on device: feature-row indices, normalized
+    feature times, window-normalized GT segments (+labels), window
+    start/size. Mirrors ``DetectionDataset.__getitem__`` semantics
+    (round-3 then normalize, zero-padded segments, -1 labels)."""
+
+    def __init__(self, windows: WindowSet,
+                 v_bank: Optional[DeviceFeatureBank],
+                 a_bank: Optional[DeviceFeatureBank],
+                 v_feat_times: Optional[Dict[str, np.ndarray]] = None,
+                 a_feat_times: Optional[Dict[str, np.ndarray]] = None,
+                 *, verb_only: bool = False,
+                 include_verb_noun: bool = False,
+                 dataset_name: str = "epic"):
+        ws = windows
+        nv = max(ws.max_visual_actions, 1)
+        na = max(ws.max_audio_actions, 1)
+        n = len(ws.windows)
+        ref_bank = v_bank or a_bank
+        feat_idx = np.stack([
+            ref_bank.global_indices(w.video_id, w.feat_indices)
+            for w in ws.windows]).astype(np.int32)
+        nf = feat_idx.shape[1]
+        n_mod = (v_bank is not None) + (a_bank is not None)
+
+        times = np.zeros((n, n_mod * nf, 2), np.float32)
+        v_seg = np.zeros((n, nv, 2), np.float32)
+        a_seg = np.zeros((n, na, 2), np.float32)
+        verb = -np.ones((n, nv), np.int32)
+        noun = -np.ones((n, nv), np.int32)
+        action = -np.ones((n, nv), np.int32)
+        class_id = -np.ones((n, na), np.int32)
+        win_start = np.zeros(n, np.float32)
+
+        for i, w in enumerate(ws.windows):
+            row = 0
+            for bank, ft in ((v_bank, v_feat_times), (a_bank, a_feat_times)):
+                if bank is None:
+                    continue
+                t = ft[w.video_id][w.feat_indices, :2]
+                times[i, row:row + nf] = np.clip(
+                    np.round(t - w.start_sec, 3) / ws.window_size, 0.0,
+                    None)
+                row += nf
+            win_start[i] = w.start_sec
+            if len(w.v_queries):
+                seg = np.round(w.v_queries - w.start_sec, 3)
+                v_seg[i, :len(seg)] = np.clip(seg / ws.window_size, 0.0,
+                                              None)
+                verb[i, :len(seg)] = w.v_labels[:, 0]
+                noun[i, :len(seg)] = w.v_labels[:, 1]
+                if dataset_name == "epic" and not include_verb_noun:
+                    action[i, :len(seg)] = w.v_labels[:, 0] if verb_only \
+                        else w.v_labels[:, 1]
+                else:
+                    action[i, :len(seg)] = w.v_labels[:, 2]
+            if len(w.a_queries):
+                seg = np.round(w.a_queries - w.start_sec, 3)
+                a_seg[i, :len(seg)] = np.clip(seg / ws.window_size, 0.0,
+                                              None)
+                class_id[i, :len(seg)] = w.a_labels[:, 3]
+
+        self.feat_indices = jnp.asarray(feat_idx)
+        self.times = jnp.asarray(times)
+        self.v_gt_segments = jnp.asarray(v_seg)
+        self.a_gt_segments = jnp.asarray(a_seg)
+        self.labels = {
+            "verb": jnp.asarray(verb), "noun": jnp.asarray(noun),
+            "action": jnp.asarray(action),
+            "class_id": jnp.asarray(class_id),
+        }
+        self.window_start = jnp.asarray(win_start)
+        self.window_size = float(ws.window_size)
+        self.num_windows = n
+
+    def batch(self, window_ids: jnp.ndarray) -> dict:
+        out = {
+            "feat_indices": jnp.take(self.feat_indices, window_ids, axis=0),
+            "times": jnp.take(self.times, window_ids, axis=0),
+            "v_gt_segments": jnp.take(self.v_gt_segments, window_ids,
+                                      axis=0),
+            "a_gt_segments": jnp.take(self.a_gt_segments, window_ids,
+                                      axis=0),
+            "window_start": jnp.take(self.window_start, window_ids, axis=0),
+            "window_size": jnp.full(window_ids.shape, self.window_size,
+                                    jnp.float32),
+        }
+        for k, v in self.labels.items():
+            out[k] = jnp.take(v, window_ids, axis=0)
+        return out
+
+
 def gather_window_batch(
     v_bank: Optional[DeviceFeatureBank],
     a_bank: Optional[DeviceFeatureBank],

@@ -36,6 +36,7 @@ class DetectionRunner:
         mesh_cfg: MeshConfig = MeshConfig(),
         output_dir: Optional[str] = None,
         print_freq: int = 100,
+        use_device_bank: bool = False,
     ):
         self.cfg = cfg
         self.tcfg = tcfg
@@ -64,6 +65,33 @@ class DetectionRunner:
         self._val_step = jax.jit(steps.make_val_step(self.model, cfg, tcfg))
         self._infer_step = jax.jit(steps.make_inference_step(
             self.model, cfg))
+
+        # Device-bank path: whole split in HBM, batch = window ids.
+        self._bank_step = None
+        if use_device_bank and train_ds is not None:
+            from tim_tpu.data.device_bank import (
+                DetectionWindowTables, DeviceFeatureBank)
+            v_bank = (DeviceFeatureBank(train_ds.visual.feats)
+                      if train_ds.visual is not None else None)
+            a_bank = (DeviceFeatureBank(train_ds.audio.feats)
+                      if train_ds.audio is not None else None)
+            self._tables = DetectionWindowTables(
+                train_ds.windows, v_bank, a_bank,
+                train_ds.visual.feat_times
+                if train_ds.visual is not None else None,
+                train_ds.audio.feat_times
+                if train_ds.audio is not None else None,
+                verb_only=train_ds.verb_only,
+                include_verb_noun=train_ds.include_verb_noun,
+                dataset_name=train_ds.dataset_name)
+            bank_step = steps.make_bank_train_step(
+                self.model, cfg, tcfg, v_bank, a_bank)
+            tables = self._tables
+
+            def step_by_ids(state, window_ids, rng):
+                return bank_step(state, tables.batch(window_ids), rng)
+
+            self._bank_step = jax.jit(step_by_ids, donate_argnums=(0,))
 
         self.state = None
         self.best_loss = float("inf")
@@ -123,6 +151,8 @@ class DetectionRunner:
 
     # ------------------------------------------------------------------
     def train_epoch(self, epoch: int, rng: jax.Array) -> Dict[str, float]:
+        if self._bank_step is not None:
+            return self._train_epoch_banked(epoch, rng)
         avg = LossAverager()
         epoch_rng = np.random.default_rng(self.tcfg.seed + epoch)
         def strip_pad(it):
@@ -141,6 +171,26 @@ class DetectionRunner:
                 self.logger.info("epoch %d iter %d | loss %.4f | "
                                  "normaliser %.1f", epoch + 1, i,
                                  metrics["loss"], metrics["normaliser"])
+        stats = avg.averages()
+        log_json_stats(self.logger, {"split": "train", "epoch": epoch + 1,
+                                     **stats})
+        return stats
+
+    def _train_epoch_banked(self, epoch: int,
+                            rng) -> Dict[str, float]:
+        import jax.numpy as jnp
+        avg = LossAverager()
+        epoch_rng = np.random.default_rng(self.tcfg.seed + epoch)
+        order = epoch_rng.permutation(self._tables.num_windows)
+        bs = self.tcfg.batch_size
+        for i in range(0, len(order) - bs + 1, bs):
+            ids = jnp.asarray(order[i:i + bs], jnp.int32)
+            self.state, metrics = self._bank_step(self.state, ids, rng)
+            if (i // bs) % self.print_freq == 0:
+                metrics = {k: float(v) for k, v in metrics.items()}
+                avg.update(metrics)
+                self.logger.info("epoch %d iter %d | loss %.4f (banked)",
+                                 epoch + 1, i // bs, metrics["loss"])
         stats = avg.averages()
         log_json_stats(self.logger, {"split": "train", "epoch": epoch + 1,
                                      **stats})

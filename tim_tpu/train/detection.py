@@ -194,6 +194,36 @@ def make_train_step(
     return train_step
 
 
+def make_bank_train_step(
+    model: TimDetection,
+    cfg: DetectionConfig,
+    tcfg: TrainConfig,
+    v_bank=None,
+    a_bank=None,
+    num_queries: int | None = None,
+):
+    """Detection train step reading features from device-resident banks:
+    the batch carries ``feat_indices`` [B, F] int32 (see
+    ``tim_tpu.data.device_bank.DetectionWindowTables``)."""
+    from tim_tpu.data.device_bank import gather_window_batch
+
+    base = make_train_step(model, cfg, tcfg, num_queries)
+
+    def step(state: TrainState, batch: Dict, rng: jax.Array):
+        aug_rng = jax.random.fold_in(
+            jax.random.fold_in(rng, state.step), 11)
+        v, a = gather_window_batch(
+            v_bank, a_bank, batch["feat_indices"], rng=aug_rng)
+        full = {k: v2 for k, v2 in batch.items() if k != "feat_indices"}
+        if v is not None:
+            full["v_feats"] = v
+        if a is not None:
+            full["a_feats"] = a
+        return base(state, full, rng)
+
+    return step
+
+
 def make_val_step(
     model: TimDetection,
     cfg: DetectionConfig,
