@@ -84,3 +84,33 @@ def test_cli_validate_and_extract(disk_bundle, tmp_path, monkeypatch):
     cli.main(_common_args(disk_bundle, tmp_path) + ["--validate"])
     cli.main(_common_args(disk_bundle, tmp_path) + ["--extract_feats"])
     assert (tmp_path / "val_features.pkl").exists()
+
+
+def test_cli_loads_released_torch_checkpoint(disk_bundle, tmp_path,
+                                             monkeypatch):
+    """A reference-format checkpoint file (torch.save with 'state_dict',
+    like the reference's save_checkpoint) loads through the CLI."""
+    torch = pytest.importorskip("torch")
+    import tim_tpu.cli as cli_mod
+    from tests import torch_oracle
+
+    orig = cli_mod.configs_from_args
+
+    def patched(args):
+        mcfg, tcfg, mesh = orig(args)
+        import dataclasses
+        mcfg = dataclasses.replace(mcfg, visual_classes=(5, 6, 4),
+                                   audio_classes=3)
+        return mcfg, tcfg, mesh
+
+    monkeypatch.setattr(cli_mod, "configs_from_args", patched)
+
+    torch.manual_seed(0)
+    oracle = torch_oracle.OracleRecognitionAV(
+        24, 16, 16, 2, 1, ((5, 6, 4), 3))
+    ckpt_path = tmp_path / "released.pyth"
+    torch.save({"state_dict": oracle.state_dict(), "epoch": 42},
+               ckpt_path)
+
+    cli.main(_common_args(disk_bundle, tmp_path)
+             + ["--torch_checkpoint", str(ckpt_path), "--validate"])

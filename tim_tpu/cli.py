@@ -98,6 +98,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="data-parallel mesh axis (-1: all devices)")
     p.add_argument("--mesh_model", type=int, default=1,
                    help="tensor-parallel mesh axis")
+    p.add_argument("--device_bank", type=_str2bool, default=False,
+                   help="keep the training split resident in HBM and "
+                        "gather windows on device (large speedup when "
+                        "host batching is the bottleneck)")
+    p.add_argument("--torch_checkpoint", default="",
+                   help="released reference checkpoint (.pyth) to convert "
+                        "and load")
     return p
 
 
@@ -251,8 +258,14 @@ def main(argv=None):
     cls = DetectionRunner if detection else RecognitionRunner
     runner = cls(mcfg, tcfg, train_ds, val_ds, mesh_cfg=mesh_cfg,
                  output_dir=str(args.output_dir),
-                 print_freq=args.print_freq)
+                 print_freq=args.print_freq,
+                 use_device_bank=args.device_bank)
     runner.init_state(pretrained=args.pretrained_model or None)
+    if args.torch_checkpoint:
+        import torch
+        ckpt = torch.load(args.torch_checkpoint, map_location="cpu",
+                          weights_only=False)
+        runner.load_torch_checkpoint(ckpt.get("state_dict", ckpt))
     start_epoch = runner.resume(args.resume) if args.resume else 0
 
     if args.train:
