@@ -9,7 +9,7 @@ descending score order, averaged over classes then thresholds.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Sequence, Tuple
 
 import numpy as np
 

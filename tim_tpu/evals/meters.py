@@ -10,7 +10,7 @@ the mean logits feeds top-k accuracy. Here the accumulator is plain numpy
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 

@@ -15,7 +15,7 @@ fusion ratio 2 / kernel 7 (``configs/EPIC-SOUNDS/SLOWFAST_R50.yaml``).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ Omnivore via ``merge_features``).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
 
 import numpy as np
 import jax
