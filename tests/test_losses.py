@@ -92,6 +92,25 @@ def test_smooth_positive_labels_matches_reference():
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_fused_smoothed_focal_matches_explicit():
+    """sigmoid_focal_loss_smoothed == focal(smooth_positive_labels) with
+    explicit target materialization."""
+    rng = np.random.default_rng(2)
+    n, c = 20, 9
+    logits = jnp.asarray(rng.normal(size=(n, c)), jnp.float32)
+    labels = jnp.asarray(rng.integers(-1, c, size=(n,)))
+    w = jnp.asarray(rng.uniform(0.5, 1.0, n), jnp.float32)
+    s = 0.9
+
+    explicit = losses.sigmoid_focal_loss(
+        logits, losses.smooth_positive_labels(labels, c, s),
+        reduction="none")
+    want = float(jnp.sum(explicit * w[:, None]))
+    got = float(losses.sigmoid_focal_loss_smoothed(logits, labels, s,
+                                                   weights=w))
+    assert got == pytest.approx(want, rel=1e-5)
+
+
 def test_drloc_loss_runs_and_bounded():
     rng = jax.random.PRNGKey(3)
     x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 10, 8)),

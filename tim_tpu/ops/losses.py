@@ -93,6 +93,41 @@ def sigmoid_focal_loss(
     return loss
 
 
+def sigmoid_focal_loss_smoothed(
+    logits: jnp.ndarray,        # [N, C]
+    labels: jnp.ndarray,        # [N] int, -1 = negative (floor everywhere)
+    smoothing: float,
+    *,
+    alpha: float = 0.25,
+    gamma: float = 2.0,
+    weights: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Focal loss against the detection smoothed one-hot targets WITHOUT
+    materializing the [N, C] target tensor: targets are
+    ``floor + s * onehot`` (``smooth_positive_labels``), generated inline
+    from an iota so XLA fuses target construction into the loss
+    elementwise pass — at EPIC scale the explicit target tensor is
+    ~0.4 GB fp32 per step. Returns the weighted SUM (the reduction the
+    detection loss uses)."""
+    n, c = logits.shape
+    floor = (1.0 - smoothing) / (c + 1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, c), 1)
+    targets = floor + smoothing * (col == labels[:, None]).astype(
+        jnp.float32)
+
+    x = logits.astype(jnp.float32)
+    p = jax.nn.sigmoid(x)
+    ce = jnp.clip(x, min=0.0) - x * targets + jnp.log1p(jnp.exp(-jnp.abs(x)))
+    p_t = p * targets + (1.0 - p) * (1.0 - targets)
+    loss = ce * (1.0 - p_t) ** gamma
+    if alpha >= 0:
+        alpha_t = alpha * targets + (1.0 - alpha) * (1.0 - targets)
+        loss = alpha_t * loss
+    if weights is not None:
+        loss = loss * weights[:, None]
+    return jnp.sum(loss)
+
+
 def ctr_diou_loss_1d(
     input_offsets: jnp.ndarray,
     target_offsets: jnp.ndarray,

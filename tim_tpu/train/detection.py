@@ -49,27 +49,22 @@ def _modality_losses(
     # (``train.py:230``; post-fix semantics, see detection/README.md:3-8).
     w = jnp.where(flat_ious < cfg.iou_threshold, 1.0, flat_ious)
 
-    def focal_sum(logits, smoothed):
-        per = L.sigmoid_focal_loss(
-            _flat(logits), smoothed, alpha=tcfg.focal_alpha,
-            gamma=tcfg.focal_gamma, reduction="none")
-        return jnp.sum(per * w[:, None])
+    def focal_sum(logits, int_labels):
+        # fused smoothed-target focal: no [N, C] target materialization
+        return L.sigmoid_focal_loss_smoothed(
+            _flat(logits), int_labels, cfg.label_smoothing,
+            alpha=tcfg.focal_alpha, gamma=tcfg.focal_gamma, weights=w)
 
+    flat_labels = _flat(labels)
     if modality == "visual":
-        smooth = Q.smooth_detection_labels(
-            _flat(labels), cfg.visual_classes, cfg.audio_classes,
-            cfg.label_smoothing, "visual")
         if len(cfg.visual_classes) == 3:
-            cls_loss = (focal_sum(cls_logits[0], smooth[0])
-                        + focal_sum(cls_logits[1], smooth[1])
-                        + focal_sum(cls_logits[2], smooth[2])) / 3.0
+            cls_loss = (focal_sum(cls_logits[0], flat_labels[:, 0])
+                        + focal_sum(cls_logits[1], flat_labels[:, 1])
+                        + focal_sum(cls_logits[2], flat_labels[:, 2])) / 3.0
         else:
-            cls_loss = focal_sum(cls_logits[2], smooth[2])
+            cls_loss = focal_sum(cls_logits[2], flat_labels[:, -1])
     else:
-        smooth = Q.smooth_detection_labels(
-            _flat(labels), cfg.visual_classes, cfg.audio_classes,
-            cfg.label_smoothing, "audio")
-        cls_loss = focal_sum(cls_logits[3], smooth)
+        cls_loss = focal_sum(cls_logits[3], flat_labels[:, -1])
     cls_loss = cls_loss / normaliser
 
     # DIoU on positives only; inf targets zeroed out via the mask.
