@@ -86,6 +86,29 @@ def test_cli_validate_and_extract(disk_bundle, tmp_path, monkeypatch):
     assert (tmp_path / "val_features.pkl").exists()
 
 
+def test_cli_detection_validate(disk_bundle, tmp_path, monkeypatch):
+    import tim_tpu.cli as cli_mod
+
+    orig = cli_mod.configs_from_args
+
+    def patched(args):
+        mcfg, tcfg, mesh = orig(args)
+        import dataclasses
+        mcfg = dataclasses.replace(
+            mcfg, visual_classes=(5,), audio_classes=3,
+            train_query_size=0.1, inference_query_size=0.2)
+        return mcfg, tcfg, mesh
+
+    monkeypatch.setattr(cli_mod, "configs_from_args", patched)
+    cli.main(_common_args(disk_bundle, tmp_path)
+             + ["--variant", "detection", "--validate"])
+    cli.main(_common_args(disk_bundle, tmp_path)
+             + ["--variant", "detection", "--extract_feats"])
+    assert (tmp_path / "dense_predictions.npz").exists()
+    dense = np.load(tmp_path / "dense_predictions.npz", allow_pickle=True)
+    assert dense["v_proposals"].shape[1] == 2
+
+
 def test_cli_loads_released_torch_checkpoint(disk_bundle, tmp_path,
                                              monkeypatch):
     """A reference-format checkpoint file (torch.save with 'state_dict',

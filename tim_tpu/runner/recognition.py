@@ -325,6 +325,13 @@ class RecognitionRunner:
             for i, nid in zip(w.a_action_ids, w.a_narration_ids):
                 a_nid[int(i)] = nid
 
+        # extraction completeness ("Actions Missed", meters.py:877-878)
+        expected = ds.windows.num_actions
+        seen = int((acc.seen > 0).sum())
+        if seen < expected:
+            self.logger.warning("extraction missed %d / %d actions",
+                                expected - seen, expected)
+
         out: Dict[str, object] = {}
         if "action" in acc.sums:
             scores, _ = acc.ensembled_scores("action")
