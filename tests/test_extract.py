@@ -127,6 +127,22 @@ def test_spec_augment_preserves_shape_and_mean_fill():
     assert masked.shape == spec.shape
 
 
+def test_random_erasing():
+    import random as pyrandom
+    frames = np.full((3, 32, 32, 3), 100, np.uint8)
+    out = aug.random_erasing(frames, probability=1.0,
+                             rng=pyrandom.Random(0))
+    assert out.shape == frames.shape
+    assert (out != frames).any()          # something was erased
+    # consistent across frames (per_frame=False)
+    changed = (out != frames).any(-1)
+    np.testing.assert_array_equal(changed[0], changed[1])
+    # probability 0 -> untouched
+    same = aug.random_erasing(frames, probability=0.0,
+                              rng=pyrandom.Random(0))
+    np.testing.assert_array_equal(same, frames)
+
+
 def test_rand_augment_runs_all_ops():
     frames = np.random.default_rng(0).integers(
         0, 255, (2, 64, 64, 3)).astype(np.uint8)

@@ -17,7 +17,7 @@ never inside jit — matching where the reference runs them.
 from __future__ import annotations
 
 import random
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -91,6 +91,45 @@ def spec_augment(spec: np.ndarray,
     spec = freq_mask(spec, num_masks=2, rng=rng)
     spec = time_mask(spec, num_masks=2, rng=rng)
     return spec
+
+
+def random_erasing(
+    frames: np.ndarray,
+    *,
+    probability: float = 0.25,
+    area_range: Tuple[float, float] = (0.02, 1 / 3),
+    aspect_range: Tuple[float, float] = (0.3, 3.3),
+    per_frame: bool = False,
+    rng: Optional[random.Random] = None,
+) -> np.ndarray:
+    """Cutout-style random erasing with per-pixel gaussian fill (timm
+    'pixel' mode, used by the VideoMAE finetuning recipe,
+    ``VideoMAE/random_erasing.py``). With ``per_frame=False`` one region is
+    erased consistently across the clip."""
+    rng = rng or random
+    if rng.random() >= probability:
+        return frames
+    out = frames.copy()
+    t, h, w, c = out.shape
+    for _ in range(10):
+        area = rng.uniform(*area_range) * h * w
+        log_aspect = (np.log(aspect_range[0]), np.log(aspect_range[1]))
+        aspect = np.exp(rng.uniform(*log_aspect))
+        eh = int(round(np.sqrt(area * aspect)))
+        ew = int(round(np.sqrt(area / aspect)))
+        if eh < h and ew < w and eh > 0 and ew > 0:
+            top = rng.randrange(0, h - eh)
+            left = rng.randrange(0, w - ew)
+            np_rng = np.random.default_rng(rng.randrange(2 ** 31))
+            if per_frame:
+                for f in range(t):
+                    out[f, top:top + eh, left:left + ew] = \
+                        np_rng.normal(size=(eh, ew, c)) * 50 + 128
+            else:
+                fill = np_rng.normal(size=(eh, ew, c)) * 50 + 128
+                out[:, top:top + eh, left:left + ew] = fill
+            break
+    return np.clip(out, 0, 255).astype(frames.dtype)
 
 
 # ---------------------------------------------------------------------------
