@@ -96,6 +96,7 @@ def main():
         f"{iters} iters, {elapsed:.3f}s, device {jax.devices()[0]})",
         file=sys.stderr,
     )
+
     print(json.dumps({
         "metric": "dense_detection_inference_windows_per_sec_per_chip",
         "value": round(windows_per_sec, 2),
@@ -103,6 +104,57 @@ def main():
         "vs_baseline": round(
             windows_per_sec / BASELINE_A100_WINDOWS_PER_SEC, 3),
     }))
+    sys.stdout.flush()
+
+    # Secondary: calibrated static-int8 serving mode (accuracy-bounded in
+    # tests/test_quant.py; the headline stays on the parity-grade bf16
+    # path). Runs AFTER the JSON line so a hang here can't break the
+    # driver contract; skipped on any failure.
+    try:
+        import dataclasses
+
+        from tim_tpu.ops import quant
+
+        qcfg = dataclasses.replace(cfg, quantized_inference=True)
+        qmodel = TimDetection(qcfg)
+        qvars = {"params": quant.quantize_params(params)}
+
+        # cheap calibration: one benchmark batch through the dynamic path
+        # with the calibration collection mutable; scales bake as
+        # compile-time constants in the serving config
+        t_full = jnp.concatenate(
+            [example["times"],
+             jnp.zeros((batch, 2 * nq, 2), jnp.float32)], axis=1)
+        calibrated = quant.calibrate_act_scales(
+            lambda vs, b_, m: qmodel.apply(
+                vs, example["v_feats"], example["a_feats"], t_full, nq, nq,
+                deterministic=True, mutable=m),
+            qvars, [None])
+        scfg = dataclasses.replace(
+            qcfg, quant_static_acts=True,
+            quant_act_scales=quant.act_scales_tuple(calibrated))
+        calibrated = qvars["params"]  # const path needs no act_scale params
+        sinfer = jax.jit(make_inference_step(TimDetection(scfg), scfg))
+
+        @jax.jit
+        def chained_q(p, e):
+            def body(_, carry):
+                pe = dict(e)
+                pe["v_feats"] = e["v_feats"] + carry
+                return jnp.max(sinfer(p, pe)["v_scores"]).astype(
+                    jnp.float32) * jnp.float32(1e-6)
+            return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+        float(chained_q(calibrated, example))
+        t0 = time.perf_counter()
+        float(chained_q(calibrated, example))
+        q_elapsed = time.perf_counter() - t0
+        print(f"[bench] int8 static serving mode: "
+              f"{batch * iters / q_elapsed:.1f} windows/s "
+              f"(vs_baseline {batch * iters / q_elapsed / BASELINE_A100_WINDOWS_PER_SEC:.3f})",
+              file=sys.stderr)
+    except Exception as exc:  # pragma: no cover
+        print(f"[bench] int8 mode skipped: {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -75,6 +75,68 @@ def test_quantized_detection_model_agrees_with_fp32():
                                atol=0.03)
 
 
+def test_static_act_calibration_pipeline():
+    """dynamic int8 -> calibrate -> static int8: outputs stay close to
+    fp32 and the act_scale params are filled in."""
+    cfg = C.DetectionConfig(
+        visual_classes=(13,), audio_classes=7,
+        visual_input_dim=32, audio_input_dim=24, d_model=32, nhead=4,
+        num_layers=1, num_feats=8, compute_dtype="float32",
+        inference_query_size=0.2)
+    qcfg = dataclasses.replace(cfg, quantized_inference=True)
+    scfg = dataclasses.replace(qcfg, quant_static_acts=True)
+
+    model = TimDetection(cfg)
+    qmodel = TimDetection(qcfg)
+    smodel = TimDetection(scfg)
+    nq = generate_query_pyramid(cfg.inference_query_size).shape[0]
+    rng = jax.random.PRNGKey(0)
+    rnd = np.random.default_rng(0)
+    b = 2
+    v = jnp.asarray(rnd.normal(size=(b, 8, 32)), jnp.float32)
+    a = jnp.asarray(rnd.normal(size=(b, 8, 24)), jnp.float32)
+    times = jnp.asarray(rnd.uniform(size=(b, 16 + 2 * nq, 2)), jnp.float32)
+
+    variables = model.init({"params": rng, "dropout": rng}, v, a, times,
+                           nq, nq, deterministic=True)
+    cls_fp, _, _ = model.apply(variables, v, a, times, nq, nq,
+                               deterministic=True)
+
+    qvars = {"params": quant.quantize_params(variables["params"])}
+
+    def apply_fn(vs, batch, mutable):
+        return qmodel.apply(vs, *batch, nq, nq, deterministic=True,
+                            mutable=mutable)
+
+    calibrated = quant.calibrate_act_scales(
+        apply_fn, qvars, [(v, a, times)])
+    assert "act_scale" in calibrated["encoder"]["layer0"]["self_attn"]["q"]
+    assert float(
+        calibrated["encoder"]["layer0"]["self_attn"]["q"]["act_scale"]) > 0
+
+    cls_s, _, _ = smodel.apply({"params": calibrated}, v, a, times, nq, nq,
+                               deterministic=True)
+    fp = np.asarray(cls_fp[2], np.float32)
+    st = np.asarray(cls_s[2], np.float32)
+    assert np.abs(fp - st).max() / np.abs(fp).max() < 0.12
+    agree = (fp.argmax(-1) == st.argmax(-1)).mean()
+    assert agree > 0.85
+
+    # compile-time-constant scales (the fast serving path) must equal the
+    # param-based static path exactly
+    ccfg = dataclasses.replace(
+        scfg, quant_act_scales=quant.act_scales_tuple(calibrated))
+    cmodel = TimDetection(ccfg)
+    # const path creates no act_scale params; strip them
+    def strip(node):
+        if not isinstance(node, dict):
+            return node
+        return {k: strip(v) for k, v in node.items() if k != "act_scale"}
+    cls_c, _, _ = cmodel.apply({"params": strip(calibrated)}, v, a, times,
+                               nq, nq, deterministic=True)
+    np.testing.assert_allclose(np.asarray(cls_c[2]), st, atol=1e-5)
+
+
 def test_quantize_params_targets_encoder_and_heads_only():
     cfg = C.DetectionConfig(
         visual_classes=(13,), audio_classes=7,

@@ -60,6 +60,13 @@ class ModelConfig:
     # Int8 serving: encoder + class-head matmuls run int8 (weights from
     # ``ops.quant.quantize_params``); inference only.
     quantized_inference: bool = False
+    # Use calibrated static per-layer activation scales (see
+    # ``ops.quant.calibrate_act_scales``) instead of dynamic per-row
+    # abs-max; +16%% measured on v5e but requires calibration first.
+    quant_static_acts: bool = False
+    # Calibrated (param_path, scale) pairs baked as compile-time constants
+    # (``ops.quant.act_scales_tuple``); empty -> act_scale params are used.
+    quant_act_scales: Tuple[Tuple[str, float], ...] = ()
 
     @property
     def encoder_width(self) -> int:

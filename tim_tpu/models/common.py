@@ -65,17 +65,30 @@ class TorchLinear(nn.Module):
 
 class Int8Dense(nn.Module):
     """Drop-in Dense for quantized inference: int8 per-out-channel weights
-    + dynamic per-row activation quantization (``tim_tpu/ops/quant.py``).
-    Params (kernel_q, kernel_scale, bias) are produced offline by
-    ``quantize_params`` from a trained fp32 tree."""
+    (``tim_tpu/ops/quant.py``). Params (kernel_q, kernel_scale, bias) are
+    produced offline by ``quantize_params`` from a trained fp32 tree.
+
+    Activation quantization:
+    - ``static_acts=False``: dynamic per-row abs-max scales (safe default,
+      no calibration needed, costs an extra VPU pass);
+    - ``static_acts=True`` + ``act_scale_const > 0``: a calibrated
+      per-layer scale baked as a *compile-time constant* — XLA folds the
+      reciprocal into the quantize and the epilogue (measured 1100 vs 865
+      win/s for the same scale carried as a traced param);
+    - ``static_acts=True`` with ``act_scale_const == 0``: the scale is
+      read from the ``act_scale`` param (portable fallback).
+    When the ``calibration`` collection is mutable the layer sows its
+    observed input abs-max (``ops.quant.calibrate_act_scales``)."""
 
     features: int
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    static_acts: bool = False
+    act_scale_const: float = 0.0
 
     @nn.compact
     def __call__(self, x):
-        from tim_tpu.ops.quant import int8_matmul
+        from tim_tpu.ops.quant import int8_matmul, int8_matmul_static
 
         fan_in = x.shape[-1]
         kernel_q = self.param(
@@ -84,7 +97,20 @@ class Int8Dense(nn.Module):
         scale = self.param(
             "kernel_scale", nn.initializers.ones, (self.features,),
             jnp.float32)
-        y = int8_matmul(x, kernel_q, scale)
+        if self.is_mutable_collection("calibration"):
+            self.sow("calibration", "act_absmax",
+                     jnp.max(jnp.abs(x)).astype(jnp.float32),
+                     init_fn=lambda: jnp.float32(0.0),
+                     reduce_fn=jnp.maximum)
+        if self.static_acts and self.act_scale_const > 0.0:
+            y = int8_matmul_static(x, kernel_q, scale,
+                                   self.act_scale_const)
+        elif self.static_acts:
+            act_scale = self.param("act_scale", nn.initializers.ones, (),
+                                   jnp.float32)
+            y = int8_matmul_static(x, kernel_q, scale, act_scale)
+        else:
+            y = int8_matmul(x, kernel_q, scale)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros,
                               (self.features,), jnp.float32)

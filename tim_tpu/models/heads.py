@@ -19,15 +19,18 @@ import flax.linen as nn
 
 from tim_tpu.models.common import (
     Int8Dense, MLP, TorchLinear, torch_linear_kernel_init)
+from tim_tpu.ops.quant import scale_for
 
 FOCAL_BIAS = -math.log((1 - 0.01) / 0.01)
 
 
-def _focal_linear(features: int, dtype, name: str, quantized: bool = False):
+def _focal_linear(features: int, dtype, name: str, quantized: bool = False,
+                  static_acts: bool = False, act_scale: float = 0.0):
     """Linear whose bias starts at the RetinaNet prior
     (``detection/.../head.py:12-25``)."""
     if quantized:
-        return Int8Dense(features, dtype=dtype, name=name)
+        return Int8Dense(features, dtype=dtype, static_acts=static_acts,
+                         act_scale_const=act_scale, name=name)
     return nn.Dense(
         features, dtype=dtype, param_dtype=jnp.float32,
         kernel_init=torch_linear_kernel_init,
@@ -46,11 +49,16 @@ class RecognitionClsHead(nn.Module):
     audio_classes: Optional[int]
     dtype: jnp.dtype = jnp.float32
     quantized: bool = False
+    quant_static_acts: bool = False
+    act_scales: tuple = ()
 
     @nn.compact
     def __call__(self, x, num_v_queries: int, num_a_queries: int):
         s = x.shape[1]
-        dense = (lambda n, name: Int8Dense(n, dtype=self.dtype, name=name)) \
+        dense = (lambda n, name: Int8Dense(
+            n, dtype=self.dtype, static_acts=self.quant_static_acts,
+            act_scale_const=scale_for(self.act_scales, name),
+            name=name)) \
             if self.quantized else \
             (lambda n, name: TorchLinear(n, dtype=self.dtype, name=name))
         include_vn = (self.visual_classes is not None
@@ -82,6 +90,8 @@ class DetectionClsHead(nn.Module):
     audio_classes: Optional[int]
     dtype: jnp.dtype = jnp.float32
     quantized: bool = False
+    quant_static_acts: bool = False
+    act_scales: tuple = ()
 
     @nn.compact
     def __call__(self, x, num_v_queries: int, num_a_queries: int):
@@ -89,20 +99,22 @@ class DetectionClsHead(nn.Module):
         aud_start = s - num_a_queries if num_a_queries > 0 else s
         vis_start = aud_start - num_v_queries
 
+        def fl(features, name):
+            return _focal_linear(
+                features, self.dtype, name, self.quantized,
+                self.quant_static_acts,
+                scale_for(self.act_scales, name))
+
         verb = noun = action = audio = None
         if self.visual_classes is not None and num_v_queries > 0:
             vx = x[:, vis_start:aud_start]
             include_vn = len(self.visual_classes) == 3
             if include_vn:
-                verb = _focal_linear(self.visual_classes[0], self.dtype,
-                                     "fc_verb", self.quantized)(vx)
-                noun = _focal_linear(self.visual_classes[1], self.dtype,
-                                     "fc_noun", self.quantized)(vx)
-            action = _focal_linear(self.visual_classes[-1], self.dtype,
-                                   "fc_action", self.quantized)(vx)
+                verb = fl(self.visual_classes[0], "fc_verb")(vx)
+                noun = fl(self.visual_classes[1], "fc_noun")(vx)
+            action = fl(self.visual_classes[-1], "fc_action")(vx)
         if self.audio_classes is not None and num_a_queries > 0:
-            audio = _focal_linear(self.audio_classes, self.dtype,
-                                  "fc_audio", self.quantized)(x[:, aud_start:])
+            audio = fl(self.audio_classes, "fc_audio")(x[:, aud_start:])
         return verb, noun, action, audio
 
 

@@ -31,6 +31,7 @@ from tim_tpu.models.heads import (
     DetectionClsHead, DetectionRegHead, RecognitionClsHead)
 from tim_tpu.models.pool import AVGA
 from tim_tpu.models.transformer import Encoder
+from tim_tpu.ops.quant import filter_scales
 
 
 def _dtype_of(cfg: ModelConfig):
@@ -74,6 +75,8 @@ class _TimBase(nn.Module):
             dtype=dtype,
             remat=cfg.remat,
             quantized=cfg.quantized_inference,
+            quant_static_acts=cfg.quant_static_acts,
+            act_scales=filter_scales(cfg.quant_act_scales, "encoder"),
             name="encoder",
         )
 
@@ -124,7 +127,10 @@ class TimRecognition(_TimBase):
         aud = cfg.audio_classes if "audio" in cfg.data_modality else None
         self.cls_head = RecognitionClsHead(
             visual_classes=vis, audio_classes=aud, dtype=_dtype_of(cfg),
-            quantized=cfg.quantized_inference, name="cls_head")
+            quantized=cfg.quantized_inference,
+            quant_static_acts=cfg.quant_static_acts,
+            act_scales=filter_scales(cfg.quant_act_scales, "cls_head"),
+            name="cls_head")
 
     def encoder_forward(
         self, v_feats, a_feats, time_encodings,
@@ -168,7 +174,10 @@ class TimDetection(_TimBase):
         dtype = _dtype_of(cfg)
         self.cls_head = DetectionClsHead(
             visual_classes=vis, audio_classes=aud, dtype=dtype,
-            quantized=cfg.quantized_inference, name="cls_head")
+            quantized=cfg.quantized_inference,
+            quant_static_acts=cfg.quant_static_acts,
+            act_scales=filter_scales(cfg.quant_act_scales, "cls_head"),
+            name="cls_head")
         self.reg_head = DetectionRegHead(
             has_visual=vis is not None, has_audio=aud is not None,
             d_model=cfg.encoder_width, dtype=dtype, name="reg_head")

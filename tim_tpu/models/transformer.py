@@ -19,6 +19,7 @@ import flax.linen as nn
 from tim_tpu.models.common import (
     Int8Dense, TorchLinear, exact_gelu, xavier_uniform)
 from tim_tpu.ops.attention import tim_attention
+from tim_tpu.ops.quant import filter_scales, scale_for
 
 
 class SelfAttention(nn.Module):
@@ -34,6 +35,8 @@ class SelfAttention(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     quantized: bool = False
+    quant_static_acts: bool = False
+    act_scales: tuple = ()
 
     @nn.compact
     def __call__(self, x, num_ctx: int, *, deterministic: bool = True):
@@ -42,7 +45,11 @@ class SelfAttention(nn.Module):
 
         def proj(name):
             if self.quantized:
-                return Int8Dense(self.d_model, dtype=self.dtype, name=name)
+                return Int8Dense(self.d_model, dtype=self.dtype,
+                                 static_acts=self.quant_static_acts,
+                                 act_scale_const=scale_for(
+                                     self.act_scales, name),
+                                 name=name)
             return nn.Dense(
                 self.d_model, dtype=self.dtype, param_dtype=jnp.float32,
                 kernel_init=xavier_uniform, name=name,
@@ -77,23 +84,34 @@ class EncoderLayer(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     quantized: bool = False
+    quant_static_acts: bool = False
+    act_scales: tuple = ()
 
     @nn.compact
     def __call__(self, x, num_ctx: int, deterministic: bool = True):
         attn = SelfAttention(
             self.d_model, self.nhead, self.dropout, self.dtype,
-            self.quantized, name="self_attn",
+            self.quantized, self.quant_static_acts,
+            filter_scales(self.act_scales, "self_attn"), name="self_attn",
         )(x, num_ctx, deterministic=deterministic)
         x = x + nn.Dropout(self.dropout, deterministic=deterministic)(attn)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         x = x.astype(self.dtype)
 
-        dense = Int8Dense if self.quantized else TorchLinear
-        h = dense(self.dim_feedforward, dtype=self.dtype,
-                  name="linear1")(x)
+        if self.quantized:
+            def dense(feats, name):
+                return Int8Dense(feats, dtype=self.dtype,
+                                 static_acts=self.quant_static_acts,
+                                 act_scale_const=scale_for(
+                                     self.act_scales, name),
+                                 name=name)
+        else:
+            def dense(feats, name):
+                return TorchLinear(feats, dtype=self.dtype, name=name)
+        h = dense(self.dim_feedforward, "linear1")(x)
         h = exact_gelu(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = dense(self.d_model, dtype=self.dtype, name="linear2")(h)
+        h = dense(self.d_model, "linear2")(h)
         x = x + nn.Dropout(self.dropout, deterministic=deterministic)(h)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
         return x.astype(self.dtype)
@@ -114,6 +132,8 @@ class Encoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     quantized: bool = False
+    quant_static_acts: bool = False
+    act_scales: tuple = ()
 
     @nn.compact
     def __call__(self, x, num_ctx: int, *, deterministic: bool = True):
@@ -123,6 +143,9 @@ class Encoder(nn.Module):
         for i in range(self.num_layers):
             x = layer_cls(
                 self.d_model, self.nhead, self.dim_feedforward,
-                self.dropout, self.dtype, self.quantized, name=f"layer{i}",
+                self.dropout, self.dtype, self.quantized,
+                self.quant_static_acts,
+                filter_scales(self.act_scales, f"layer{i}"),
+                name=f"layer{i}",
             )(x, num_ctx, deterministic)
         return x

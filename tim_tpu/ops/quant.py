@@ -48,6 +48,96 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray,
     return y.astype(jnp.float32) * (s_x * scale)
 
 
+def scale_for(act_scales, name: str, default: float = 0.0) -> float:
+    """Look up a layer's calibrated activation scale in a
+    (path, scale) tuple (paths are '/'-joined param paths)."""
+    for path, s in act_scales:
+        if path == name:
+            return float(s)
+    return default
+
+
+def filter_scales(act_scales, prefix: str):
+    """Sub-tuple of scales under ``prefix`` with the prefix stripped."""
+    pre = prefix + "/"
+    return tuple((p[len(pre):], s) for p, s in act_scales
+                 if p.startswith(pre))
+
+
+def int8_matmul_static(x: jnp.ndarray, w_q: jnp.ndarray,
+                       scale: jnp.ndarray,
+                       act_scale) -> jnp.ndarray:
+    """Static-activation int8 matmul: one calibrated per-layer scale (pass
+    a python float to bake it as a compile-time constant), no abs-max
+    reduction over the activations."""
+    s_x = jnp.maximum(act_scale, 1e-12)
+    x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x),
+                   -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        x_q, w_q,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32) * (s_x * scale)
+
+
+def calibrate_act_scales(apply_fn, variables, batches) -> Dict:
+    """Run calibration batches through a model whose Int8Dense layers sow
+    their input abs-max, and return params with per-layer ``act_scale``
+    entries filled in (abs-max / 127).
+
+    apply_fn(variables, batch, mutable) -> (out, mutated) must forward the
+    ``mutable`` list to ``module.apply``."""
+    absmax: Dict = {}
+
+    def merge(tree, into, path=()):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                merge(v, into, path + (k,))
+            else:
+                key = path + (k,)
+                prev = into.get(key)
+                val = np.asarray(jax.tree_util.tree_leaves(v)[0]
+                                 if isinstance(v, (tuple, list)) else v)
+                into[key] = val if prev is None else np.maximum(prev, val)
+
+    for batch in batches:
+        _, mut = apply_fn(variables, batch, ["calibration"])
+        merge(mut.get("calibration", {}), absmax)
+
+    params = jax.device_get(variables["params"])
+
+    def walk(node, path=()):
+        if not isinstance(node, dict):
+            return node
+        out = {k: walk(v, path + (k,)) for k, v in node.items()}
+        if "kernel_q" in node:
+            key = path + ("act_absmax",)
+            if key in absmax:
+                out["act_scale"] = jnp.float32(
+                    max(float(absmax[key]) / 127.0, 1e-12))
+        return out
+
+    return walk(params)
+
+
+def act_scales_tuple(calibrated_params) -> tuple:
+    """Flatten calibrated ``act_scale`` leaves into the hashable
+    (path, scale) tuple ``ModelConfig.quant_act_scales`` consumes."""
+    out = []
+
+    def walk(node, path=()):
+        if not isinstance(node, dict):
+            return
+        for k, v in node.items():
+            if k == "act_scale":
+                out.append(("/".join(path), float(v)))
+            elif isinstance(v, dict):
+                walk(v, path + (k,))
+
+    walk(calibrated_params)
+    return tuple(sorted(out))
+
+
 def _is_quantizable(path_names: Tuple[str, ...], leaf) -> bool:
     if path_names[-1] != "kernel" or np.ndim(leaf) != 2:
         return False
