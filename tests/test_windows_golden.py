@@ -284,3 +284,36 @@ def test_detection_windows_match_reference(bundle, tmp_path, monkeypatch):
         else:
             assert mine.v_queries.shape[0] == 0
             assert mine.a_queries.shape[0] == 0
+
+    # __getitem__ parity (normalized times, gt segments, label selection)
+    from tim_tpu.data.dataset import DetectionDataset
+
+    v_store = FeatureStore(
+        {k: v[:, :1] for k, v in bundle["v_feats"].items()},
+        bundle["v_feat_times"])
+    a_store = FeatureStore(
+        {k: v[:, :1] for k, v in bundle["a_feats"].items()},
+        bundle["a_feat_times"])
+    ds = DetectionDataset(ours, v_store, a_store,
+                          sample_augmentations=False,
+                          include_verb_noun=False, verb_only=True,
+                          dataset_name="epic")
+    ref_ds.v_num_aug = 1
+    ref_ds.a_num_aug = 1
+    nv_pad = max(ours.max_visual_actions, 1)
+    for i in (0, len(ds) // 3, len(ds) - 1):
+        mine = ds[i]
+        v_data, a_data, times, label, meta = ref_ds[i]
+        np.testing.assert_allclose(mine["v_feats"], v_data.numpy(),
+                                   atol=1e-6)
+        np.testing.assert_allclose(mine["times"], times.numpy(), atol=1e-6)
+        ref_v_seg = label["v_gt_segments"].numpy()
+        np.testing.assert_allclose(
+            mine["v_gt_segments"][:len(ref_v_seg)], ref_v_seg, atol=1e-6)
+        ref_action = label["action"].numpy()
+        np.testing.assert_array_equal(
+            mine["action"][:len(ref_action)], ref_action)
+        np.testing.assert_array_equal(
+            mine["class_id"][:len(label["class_id"])],
+            label["class_id"].numpy())
+        assert float(meta["window_start"]) == float(mine["window_start"])
