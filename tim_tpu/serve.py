@@ -178,20 +178,26 @@ class DetectionServer:
         dur = math.ceil(duration)
         n = max(math.ceil((dur - self.window_size)
                           / self.window_stride) + 1, 1)
-        return self.window_stride * np.arange(n)
+        # float32 like the dataset path (float64 starts shift times by
+        # 1 ulp and flip score-threshold boundaries)
+        return (self.window_stride * np.arange(n)).astype(np.float32)
 
-    def _assemble(self, feats, feat_times, starts, kind):
+    def _assemble(self, feats, feat_times, starts, duration: float):
+        """Exact dataset semantics (``build_detection_windows`` +
+        ``DetectionDataset.__getitem__``): window stop clipped to
+        ceil(duration), times rounded to 3 decimals before normalizing."""
         nf = self.cfg.num_feats
+        dur = math.ceil(duration)
         idx = np.stack([
             window_feat_indices(feat_times, s,
-                                min(s + self.window_size,
-                                    feat_times[-1, 1]),
+                                min(dur, s + self.window_size),
                                 self.feat_stride, nf)
             for s in starts])
         data = feats[idx]                                  # [B, F, D]
         times = feat_times[idx][:, :, :2]
-        times = np.clip((times - starts[:, None, None])
-                        / self.window_size, 0.0, None)
+        times = np.clip(
+            np.round(times - starts[:, None, None], 3)
+            / self.window_size, 0.0, None)
         return data.astype(np.float32), times.astype(np.float32)
 
     # ------------------------------------------------------------------
@@ -223,11 +229,13 @@ class DetectionServer:
             times_parts = []
             batch = {}
             if v_feats is not None:
-                v, vt = self._assemble(v_feats, feat_times, chunk_p, "v")
+                v, vt = self._assemble(v_feats, feat_times, chunk_p,
+                                       duration)
                 batch["v_feats"] = jnp.asarray(v)
                 times_parts.append(vt)
             if a_feats is not None:
-                a, at = self._assemble(a_feats, feat_times, chunk_p, "a")
+                a, at = self._assemble(a_feats, feat_times, chunk_p,
+                                       duration)
                 batch["a_feats"] = jnp.asarray(a)
                 times_parts.append(at)
             batch["times"] = jnp.asarray(
