@@ -37,6 +37,7 @@ class DetectionRunner:
         output_dir: Optional[str] = None,
         print_freq: int = 100,
         use_device_bank: bool = False,
+        experiment_logger=None,
     ):
         self.cfg = cfg
         self.tcfg = tcfg
@@ -45,6 +46,7 @@ class DetectionRunner:
         self.output_dir = output_dir
         self.print_freq = print_freq
         self.logger = setup_logging(output_dir)
+        self.exp_logger = experiment_logger
 
         self.model = TimDetection(cfg)
         self.mesh = make_mesh(mesh_cfg.data, mesh_cfg.model)
@@ -174,6 +176,8 @@ class DetectionRunner:
         stats = avg.averages()
         log_json_stats(self.logger, {"split": "train", "epoch": epoch + 1,
                                      **stats})
+        if self.exp_logger is not None:
+            self.exp_logger.log({f"train/{k}": v for k, v in stats.items()})
         return stats
 
     def _train_epoch_banked(self, epoch: int,
@@ -194,6 +198,8 @@ class DetectionRunner:
         stats = avg.averages()
         log_json_stats(self.logger, {"split": "train", "epoch": epoch + 1,
                                      **stats})
+        if self.exp_logger is not None:
+            self.exp_logger.log({f"train/{k}": v for k, v in stats.items()})
         return stats
 
     # ------------------------------------------------------------------
@@ -213,6 +219,8 @@ class DetectionRunner:
         stats = avg.averages()
         log_json_stats(self.logger, {"split": "val", "epoch": epoch + 1,
                                      **stats})
+        if self.exp_logger is not None:
+            self.exp_logger.log({f"val/{k}": v for k, v in stats.items()})
         return stats
 
     # ------------------------------------------------------------------

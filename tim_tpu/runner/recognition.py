@@ -52,6 +52,7 @@ class RecognitionRunner:
         dataset_name: str = "epic",
         print_freq: int = 100,
         use_device_bank: bool = False,
+        experiment_logger=None,
     ):
         self.cfg = cfg
         self.tcfg = tcfg
@@ -61,6 +62,7 @@ class RecognitionRunner:
         self.dataset_name = dataset_name
         self.print_freq = print_freq
         self.logger = setup_logging(output_dir)
+        self.exp_logger = experiment_logger
 
         ws = (train_ds or val_ds).windows
         self.nv = ws.max_visual_actions
@@ -191,6 +193,8 @@ class RecognitionRunner:
         stats = avg.averages()
         log_json_stats(self.logger, {"split": "train", "epoch": epoch + 1,
                                      **stats})
+        if self.exp_logger is not None:
+            self.exp_logger.log({f"train/{k}": v for k, v in stats.items()})
         return stats
 
     def _train_epoch_banked(self, epoch: int,
@@ -210,6 +214,8 @@ class RecognitionRunner:
         stats = avg.averages()
         log_json_stats(self.logger, {"split": "train", "epoch": epoch + 1,
                                      **stats})
+        if self.exp_logger is not None:
+            self.exp_logger.log({f"train/{k}": v for k, v in stats.items()})
         return stats
 
     # ------------------------------------------------------------------
@@ -244,6 +250,8 @@ class RecognitionRunner:
         stats.update(avg.averages())
         log_json_stats(self.logger, {"split": "val", "epoch": epoch + 1,
                                      **stats})
+        if self.exp_logger is not None:
+            self.exp_logger.log({f"val/{k}": v for k, v in stats.items()})
         return stats
 
     def _best_tag(self, stats: Dict[str, float], epoch: int) -> str:
