@@ -147,6 +147,58 @@ def test_end_to_end_detection_eval_perfect_predictions():
     assert len(submission["results"]) == 3
 
 
+def test_ek100_evaluation_matches_reference_anetdetection():
+    """End-to-end golden: annotations pickle schema + challenge submission
+    through the reference ANETdetection class vs our evaluate_ek100, all
+    three tasks."""
+    pd = pytest.importorskip("pandas")
+    ref = _load_ref("/root/reference/detection/eval_detection/"
+                    "evaluate_detection_json_ek100.py", "ref_eval3")
+    from tim_tpu.evals.ek100 import evaluate_ek100
+
+    rng = np.random.default_rng(7)
+    n_gt = 40
+
+    def fmt(sec):
+        h = int(sec // 3600); m = int((sec % 3600) // 60); s = sec % 60
+        return f"{h:02d}:{m:02d}:{s:09.6f}"
+
+    gstarts = rng.uniform(0, 60, n_gt)
+    ann = pd.DataFrame({
+        "video_id": [f"P{i % 3}" for i in range(n_gt)],
+        "start_timestamp": [fmt(s) for s in gstarts],
+        "stop_timestamp": [fmt(s + rng.uniform(1, 5)) for s in gstarts],
+        "verb_class": rng.integers(0, 4, n_gt),
+        "noun_class": rng.integers(0, 5, n_gt),
+    }, index=pd.Index([f"n{i}" for i in range(n_gt)],
+                      name="narration_id"))
+
+    results = {}
+    for i in range(120):
+        vid = f"P{rng.integers(0, 4)}"  # P3 = pure false positives
+        s = float(rng.uniform(0, 60))
+        v, n = int(rng.integers(0, 4)), int(rng.integers(0, 5))
+        results.setdefault(vid, []).append({
+            "verb": v, "noun": n, "action": f"{v},{n}",
+            "score": float(rng.uniform(0, 1)),
+            "segment": [round(s, 3), round(s + float(rng.uniform(1, 6)),
+                                           3)],
+        })
+    submission = {"version": "0.2", "challenge": "action_detection",
+                  "sls_pt": 2, "sls_tl": 3, "sls_td": 4,
+                  "results": results}
+
+    for task in ("verb", "noun", "action"):
+        ref_eval = ref.ANETdetection(ann, submission, label=task,
+                                     num_nouns=5)
+        want_map, want_avg = ref_eval.evaluate(task)
+        got_map, got_avg = evaluate_ek100(ann, submission, task,
+                                          num_nouns=5)
+        np.testing.assert_allclose(got_map, want_map, atol=1e-9,
+                                   err_msg=task)
+        assert got_avg == pytest.approx(want_avg, abs=1e-9)
+
+
 def test_validate_submission():
     from tim_tpu.evals.format_predictions import (
         SubmissionError, validate_submission)
