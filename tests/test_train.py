@@ -186,6 +186,47 @@ def test_detection_overfit(bundle):
             ws_start[:, None, None] - 1e-5).all()
 
 
+def test_shared_queries_layer0_exact():
+    """shared_queries=True (project one query row, broadcast) must equal
+    the plain forward when query tokens are batch-identical."""
+    from tim_tpu.models.queries import generate_query_pyramid
+    from tim_tpu.models import TimDetection
+
+    cfg = C.DetectionConfig(
+        visual_classes=(5,), audio_classes=3,
+        visual_input_dim=16, audio_input_dim=12, d_model=16, nhead=2,
+        num_layers=2, num_feats=6, compute_dtype="float32",
+        inference_query_size=0.2)
+    model = TimDetection(cfg)
+    nq = generate_query_pyramid(cfg.inference_query_size).shape[0]
+    rng = jax.random.PRNGKey(0)
+    rnd = np.random.default_rng(0)
+    b = 3
+    v = jnp.asarray(rnd.normal(size=(b, 6, 16)), jnp.float32)
+    a = jnp.asarray(rnd.normal(size=(b, 6, 12)), jnp.float32)
+    feat_times = jnp.asarray(rnd.uniform(size=(b, 12, 2)), jnp.float32)
+    grid = jnp.asarray(generate_query_pyramid(cfg.inference_query_size))
+    queries = jnp.broadcast_to(grid[None], (b, nq, 2))
+    times = jnp.concatenate([feat_times, queries, queries], axis=1)
+
+    variables = model.init({"params": rng, "dropout": rng}, v, a, times,
+                           nq, nq, deterministic=True)
+    te = model.apply(variables, times, method=TimDetection.encode_times)
+    plain = model.apply(variables, v, a, te, nq, nq, deterministic=True,
+                        method=TimDetection.encoder_forward)
+    shared = model.apply(variables, v, a, te, nq, nq, deterministic=True,
+                         shared_queries=True,
+                         method=TimDetection.encoder_forward)
+    # equal up to matmul association order (different blocking for the
+    # [1, C] row vs the batched projection)
+    np.testing.assert_allclose(np.asarray(plain[0][2]),
+                               np.asarray(shared[0][2]),
+                               atol=1e-5, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(plain[1][0]),
+                               np.asarray(shared[1][0]),
+                               atol=1e-5, rtol=1e-6)
+
+
 def test_query_pyramid_matches_reference_semantics():
     """Pyramid equals the torch construction in detection tim.py:144-155."""
     torch = pytest.importorskip("torch")

@@ -100,7 +100,8 @@ class _TimBase(nn.Module):
         return self.drloc_head(x)[..., 0]
 
     def _encode_sequence(self, v_feats, a_feats, time_encodings,
-                         num_v_queries, num_a_queries, deterministic):
+                         num_v_queries, num_a_queries, deterministic,
+                         shared_queries=False):
         cfg = self.cfg
         if self.is_initializing():
             # materialize the drloc head params (only reached from the train
@@ -111,7 +112,8 @@ class _TimBase(nn.Module):
         x = self.feature_encoding(
             v_feats, a_feats, time_encodings,
             num_v_queries, num_a_queries, deterministic=deterministic)
-        x = self.encoder(x, cfg.num_context, deterministic=deterministic)
+        x = self.encoder(x, cfg.num_context, deterministic=deterministic,
+                         shared_queries=shared_queries)
         return x
 
 
@@ -189,13 +191,15 @@ class TimDetection(_TimBase):
     def encoder_forward(
         self, v_feats, a_feats, time_encodings,
         num_v_queries: int, num_a_queries: int,
-        *, deterministic: bool = True,
+        *, deterministic: bool = True, shared_queries: bool = False,
     ):
         """Returns (cls_logits 4-tuple, (v_reg, a_reg) each [B, Nq, 2],
-        context tokens)."""
+        context tokens). ``shared_queries``: set only when the query tokens
+        (intervals AND their time encodings) are identical across the batch
+        (dense inference grids)."""
         x = self._encode_sequence(
             v_feats, a_feats, time_encodings,
-            num_v_queries, num_a_queries, deterministic)
+            num_v_queries, num_a_queries, deterministic, shared_queries)
         cls_scores = self.cls_head(x, num_v_queries, num_a_queries)
         reg_scores = self.reg_head(x, num_v_queries, num_a_queries)
         return cls_scores, reg_scores, x[:, :self.cfg.num_context]

@@ -39,7 +39,8 @@ class SelfAttention(nn.Module):
     act_scales: tuple = ()
 
     @nn.compact
-    def __call__(self, x, num_ctx: int, *, deterministic: bool = True):
+    def __call__(self, x, num_ctx: int, *, deterministic: bool = True,
+                 shared_queries: bool = False):
         b, s, c = x.shape
         dh = self.d_model // self.nhead
 
@@ -55,9 +56,25 @@ class SelfAttention(nn.Module):
                 kernel_init=xavier_uniform, name=name,
             )
 
-        q = proj("q")(x).reshape(b, s, self.nhead, dh).transpose(0, 2, 1, 3)
-        k = proj("k")(x).reshape(b, s, self.nhead, dh).transpose(0, 2, 1, 3)
-        v = proj("v")(x).reshape(b, s, self.nhead, dh).transpose(0, 2, 1, 3)
+        if shared_queries and s > num_ctx and b > 1:
+            # Dense inference: query tokens are identical across the batch
+            # at this layer, so project one row and broadcast (saves the
+            # batch factor on the query-slice q/k/v matmuls).
+            xc, xq = x[:, :num_ctx], x[:, num_ctx:]
+
+            def qkv(name):
+                mod = proj(name)
+                yc = mod(xc)
+                yq = jnp.broadcast_to(
+                    mod(xq[:1]), (b, s - num_ctx, self.d_model))
+                return jnp.concatenate([yc, yq], axis=1)
+        else:
+            def qkv(name):
+                return proj(name)(x)
+
+        q = qkv("q").reshape(b, s, self.nhead, dh).transpose(0, 2, 1, 3)
+        k = qkv("k").reshape(b, s, self.nhead, dh).transpose(0, 2, 1, 3)
+        v = qkv("v").reshape(b, s, self.nhead, dh).transpose(0, 2, 1, 3)
 
         if not deterministic and self.dropout > 0.0:
             rng = self.make_rng("dropout")
@@ -88,12 +105,14 @@ class EncoderLayer(nn.Module):
     act_scales: tuple = ()
 
     @nn.compact
-    def __call__(self, x, num_ctx: int, deterministic: bool = True):
+    def __call__(self, x, num_ctx: int, deterministic: bool = True,
+                 shared_queries: bool = False):
         attn = SelfAttention(
             self.d_model, self.nhead, self.dropout, self.dtype,
             self.quantized, self.quant_static_acts,
             filter_scales(self.act_scales, "self_attn"), name="self_attn",
-        )(x, num_ctx, deterministic=deterministic)
+        )(x, num_ctx, deterministic=deterministic,
+          shared_queries=shared_queries)
         x = x + nn.Dropout(self.dropout, deterministic=deterministic)(attn)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         x = x.astype(self.dtype)
@@ -136,10 +155,11 @@ class Encoder(nn.Module):
     act_scales: tuple = ()
 
     @nn.compact
-    def __call__(self, x, num_ctx: int, *, deterministic: bool = True):
+    def __call__(self, x, num_ctx: int, *, deterministic: bool = True,
+                 shared_queries: bool = False):
         layer_cls = EncoderLayer
         if self.remat:
-            layer_cls = nn.remat(EncoderLayer, static_argnums=(2, 3))
+            layer_cls = nn.remat(EncoderLayer, static_argnums=(2, 3, 4))
         for i in range(self.num_layers):
             x = layer_cls(
                 self.d_model, self.nhead, self.dim_feedforward,
@@ -147,5 +167,6 @@ class Encoder(nn.Module):
                 self.quant_static_acts,
                 filter_scales(self.act_scales, f"layer{i}"),
                 name=f"layer{i}",
-            )(x, num_ctx, deterministic)
+                # only layer 0 sees batch-identical query tokens
+            )(x, num_ctx, deterministic, shared_queries and i == 0)
         return x

@@ -323,7 +323,7 @@ def make_inference_step(
         te = jnp.concatenate(parts, axis=1)
         cls_logits, reg_preds, _ = model.apply(
             variables, batch.get("v_feats"), batch.get("a_feats"), te,
-            nv, na, deterministic=True,
+            nv, na, deterministic=True, shared_queries=True,
             method=TimDetection.encoder_forward)
 
         win_start = batch["window_start"][:, None, None]
