@@ -248,7 +248,7 @@ def make_val_step(
         te = model.apply(variables, times, method=TimDetection.encode_times)
         cls_logits, reg_preds, _ = model.apply(
             variables, batch.get("v_feats"), batch.get("a_feats"), te,
-            nv, na, deterministic=True,
+            nv, na, deterministic=True, shared_queries=True,
             method=TimDetection.encoder_forward)
 
         metrics = {}
