@@ -118,6 +118,41 @@ def test_ap_matches_reference_evaluator():
     np.testing.assert_allclose(got, want, atol=1e-9)
 
 
+@pytest.mark.parametrize("seed,n_gt,n_pred", [(11, 5, 9), (12, 60, 200),
+                                              (13, 1, 50)])
+def test_ap_fuzz_matches_reference(seed, n_gt, n_pred):
+    """More AP golden configs: tiny, dense, single-GT; includes duplicate
+    segments and out-of-video predictions."""
+    pd = pytest.importorskip("pandas")
+    ref = _load_ref("/root/reference/detection/eval_detection/"
+                    "evaluate_detection_json_ek100.py", f"ref_eval_{seed}")
+
+    rng = np.random.default_rng(seed)
+    vids = np.asarray([f"v{i % 3}" for i in range(n_gt)], object)
+    gs = rng.uniform(0, 30, n_gt)
+    ge = gs + rng.uniform(0.5, 4, n_gt)
+
+    pv = np.asarray([f"v{i % 4}" for i in range(n_pred)], object)
+    ps = rng.uniform(0, 30, n_pred)
+    pe = ps + rng.uniform(0.5, 5, n_pred)
+    # force some exact-duplicate predictions
+    if n_pred > 4:
+        ps[1], pe[1], pv[1] = ps[0], pe[0], pv[0]
+    scores = rng.uniform(0, 1, n_pred)
+
+    tious = np.linspace(0.1, 0.5, 5)
+    gt_df = pd.DataFrame({"video-id": vids, "t-start": gs, "t-end": ge,
+                          "narration": [f"n{i}" for i in range(n_gt)]})
+    pred_df = pd.DataFrame({"video-id": pv, "t-start": ps, "t-end": pe,
+                            "score": scores, "verb": 0, "noun": 0})
+    want, _ = ref.compute_average_precision_detection(gt_df, pred_df,
+                                                      tious)
+    got = compute_average_precision_detection(
+        vids, np.stack([gs, ge], -1), pv, np.stack([ps, pe], -1), scores,
+        tious)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
 def test_interpolated_prec_rec_matches_reference():
     ref = _load_ref("/root/reference/detection/eval_detection/"
                     "evaluate_detection_json_ek100.py", "ref_eval2")

@@ -137,6 +137,36 @@ def test_static_act_calibration_pipeline():
     np.testing.assert_allclose(np.asarray(cls_c[2]), st, atol=1e-5)
 
 
+def test_quantized_recognition_model_agrees_with_fp32():
+    from tim_tpu.models import TimRecognition
+
+    cfg = C.ModelConfig(
+        visual_classes=(5, 6, 4), audio_classes=3,
+        visual_input_dim=24, audio_input_dim=16, d_model=32, nhead=4,
+        num_layers=2, num_feats=6, compute_dtype="float32")
+    qcfg = dataclasses.replace(cfg, quantized_inference=True)
+    model = TimRecognition(cfg)
+    qmodel = TimRecognition(qcfg)
+    b, nv, na = 2, 3, 2
+    rng = jax.random.PRNGKey(0)
+    rnd = np.random.default_rng(0)
+    v = jnp.asarray(rnd.normal(size=(b, 6, 24)), jnp.float32)
+    a = jnp.asarray(rnd.normal(size=(b, 6, 16)), jnp.float32)
+    times = jnp.asarray(rnd.uniform(size=(b, 12 + nv + na, 2)),
+                        jnp.float32)
+    variables = model.init({"params": rng, "dropout": rng}, v, a, times,
+                           nv, na, deterministic=True)
+    logits_fp, _ = model.apply(variables, v, a, times, nv, na,
+                               deterministic=True)
+    qvars = {"params": quant.quantize_params(variables["params"])}
+    logits_q, _ = qmodel.apply(qvars, v, a, times, nv, na,
+                               deterministic=True)
+    for fp, q in zip(logits_fp, logits_q):
+        fp, q = np.asarray(fp, np.float32), np.asarray(q, np.float32)
+        assert np.abs(fp - q).max() / np.abs(fp).max() < 0.08
+        assert (fp.argmax(-1) == q.argmax(-1)).mean() > 0.85
+
+
 def test_quantize_params_targets_encoder_and_heads_only():
     cfg = C.DetectionConfig(
         visual_classes=(13,), audio_classes=7,
