@@ -85,7 +85,41 @@ def test_seg_voting_matches_torch_oracle():
     w = (iou >= 0.3).float() * ts[None, :] * iou
     w = w / w.sum(dim=1, keepdim=True)
     want = (w @ ta).numpy()
-    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+    # reference emits NaN rows when no candidate votes; we fall back to the
+    # un-voted segment there and must match the oracle everywhere else
+    finite = np.isfinite(want).all(axis=1)
+    np.testing.assert_allclose(got[finite], want[finite],
+                               atol=1e-4, rtol=1e-4)
+    np.testing.assert_allclose(got[~finite], nms_segs[~finite])
+
+
+def test_seg_voting_zero_weight_falls_back_to_unvoted():
+    """No-neighbor edge: the reference divides by a zero weight sum and
+    emits NaN rows (``eval_detection/nms.py:90-91``); we fall back to the
+    kept segment itself. Rows with voters must still match the oracle."""
+    torch = pytest.importorskip("torch")
+    # row 0 has a voter (itself, score>0); row 1 is disjoint from every
+    # candidate; row 2 overlaps only candidates with score 0.
+    nms_segs = np.asarray([[0., 2.], [100., 102.], [50., 52.]], np.float32)
+    all_segs = np.asarray([[0., 2.], [50., 52.], [50.5, 52.5]], np.float32)
+    all_scores = np.asarray([0.9, 0.0, 0.0], np.float32)
+
+    got = N.seg_voting(nms_segs, all_segs, all_scores, 0.3)
+    assert np.isfinite(got).all()
+    np.testing.assert_allclose(got[1], nms_segs[1])
+    np.testing.assert_allclose(got[2], nms_segs[2])
+
+    tn, ta, ts = map(torch.tensor, (nms_segs, all_segs, all_scores))
+    left = torch.maximum(tn[:, None, 0], ta[None, :, 0])
+    right = torch.minimum(tn[:, None, 1], ta[None, :, 1])
+    inter = (right - left).clamp(min=0)
+    iou = inter / ((tn[:, 1] - tn[:, 0])[:, None]
+                   + (ta[:, 1] - ta[:, 0])[None, :] - inter)
+    w = (iou >= 0.3).float() * ts[None, :] * iou
+    w = w / w.sum(dim=1, keepdim=True)
+    want = (w @ ta).numpy()
+    assert np.isnan(want[1]).all() and np.isnan(want[2]).all()
+    np.testing.assert_allclose(got[0], want[0], atol=1e-4, rtol=1e-4)
 
 
 def test_batched_nms_multiclass_keeps_classes_separate():

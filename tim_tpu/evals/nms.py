@@ -190,7 +190,13 @@ def _softnms_1d_numpy(segs, scores, iou_threshold, sigma, min_score,
 def seg_voting(nms_segs, all_segs, all_scores, iou_threshold,
                score_offset: float = 1.5):
     """Refine kept segments by IoU-weighted voting over all candidates
-    (``eval_detection/nms.py:62-94``)."""
+    (``eval_detection/nms.py:62-94``).
+
+    Beats the reference on one edge: when a kept segment has zero total
+    voting weight (its own decayed score is 0 and no candidate clears
+    ``iou_threshold``) the reference divides by zero and emits a NaN row;
+    here such rows fall back to the un-voted segment.
+    """
     lo = np.maximum(nms_segs[:, None, 0], all_segs[None, :, 0])
     hi = np.minimum(nms_segs[:, None, 1], all_segs[None, :, 1])
     inter = np.clip(hi - lo, 0.0, None)
@@ -198,8 +204,9 @@ def seg_voting(nms_segs, all_segs, all_scores, iou_threshold,
     lens_a = (all_segs[:, 1] - all_segs[:, 0])[None, :]
     iou = inter / (lens_n + lens_a - inter)
     w = (iou >= iou_threshold) * all_scores[None, :] * iou
-    w = w / w.sum(axis=1, keepdims=True)
-    return w @ all_segs
+    wsum = w.sum(axis=1, keepdims=True)
+    voted = np.divide(w, np.where(wsum > 0, wsum, 1.0)) @ all_segs
+    return np.where(wsum > 0, voted, nms_segs)
 
 
 def batched_nms(
