@@ -1,0 +1,75 @@
+"""Real 2-process multi-host run on CPU (gloo collectives): training +
+window-vote validation must match the single-process run. Exercises
+``jax.distributed.initialize``, per-process dataset sharding,
+``make_array_from_process_local_data`` batch assembly, and the
+cross-process metric reduction — the paths the reference covers with
+``--num_shards`` + NCCL (``recognition/.../utils/distributed.py``)."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(ROOT, "tests", "multihost_worker.py")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _run(nproc: int, tmp_path) -> dict:
+    out = tmp_path / f"stats_{nproc}.json"
+    port = _free_port()
+    env = dict(os.environ, PYTHONPATH=ROOT)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(nproc), str(pid), str(port),
+             str(out)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for pid in range(nproc)
+    ]
+    logs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=600)
+        logs.append(stdout.decode())
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log}"
+    with open(out) as f:
+        return json.load(f)
+
+
+@pytest.mark.slow
+def test_two_process_training_matches_single(tmp_path):
+    single = _run(1, tmp_path)
+    double = _run(2, tmp_path)
+
+    assert double["process_count"] == 2
+    assert double["device_count"] == 4
+    keys = sorted(k for k in single
+                  if k not in ("process_count", "device_count"))
+    assert keys == sorted(k for k in double
+                          if k not in ("process_count", "device_count"))
+    for k in keys:
+        if "top" in k:
+            # window-vote accuracies must be EXACT: same logits voted into
+            # the same fp64 accumulators, merged across hosts
+            np.testing.assert_allclose(
+                double[k], single[k], atol=1e-6,
+                err_msg=f"accuracy {k} diverged 1- vs 2-process")
+        else:
+            # per-batch loss averages differ only through the padded
+            # duplicate rows each layout appends (the reference's
+            # DistributedSampler shares the quirk)
+            np.testing.assert_allclose(
+                double[k], single[k], rtol=5e-3,
+                err_msg=f"loss {k} diverged 1- vs 2-process")

@@ -94,6 +94,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--print-freq", "-p", dest="print_freq", type=int,
                    default=100)
+    # multi-host launch (reference ``utils/parser.py:160-184``): one
+    # controller process per host instead of one per GPU
+    p.add_argument("--num_shards", type=int, default=1,
+                   help="total number of host processes")
+    p.add_argument("--shard_id", type=int, default=0,
+                   help="this process's index in [0, num_shards)")
+    p.add_argument("--init_method", default="tcp://localhost:9999",
+                   help="coordinator address (tcp://host:port or "
+                        "host:port)")
     p.add_argument("--mesh_data", type=int, default=-1,
                    help="data-parallel mesh axis (-1: all devices)")
     p.add_argument("--mesh_model", type=int, default=1,
@@ -250,6 +259,13 @@ def load_datasets(args, mcfg, detection: bool):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.num_shards > 1:
+        # must run before the first jax device query
+        from tim_tpu.parallel import multihost
+        multihost.initialize(
+            coordinator_address=args.init_method.replace("tcp://", ""),
+            num_processes=args.num_shards,
+            process_id=args.shard_id)
     detection = args.variant == "detection"
     mcfg, tcfg, mesh_cfg = configs_from_args(args)
     train_ds, val_ds = load_datasets(args, mcfg, detection)

@@ -57,6 +57,10 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"
     # Rematerialize encoder layers in backward (memory <-> FLOPs trade).
     remat: bool = False
+    # Fused Pallas post-attention block (residual+LN1+FFN+residual+LN2 in
+    # VMEM, ``ops/pallas_fused.py``) on deterministic steps; training
+    # keeps the unfused stack (the kernel defines no backward).
+    use_fused_ffn: bool = False
     # Int8 serving: encoder + class-head matmuls run int8 (weights from
     # ``ops.quant.quantize_params``); inference only.
     quantized_inference: bool = False

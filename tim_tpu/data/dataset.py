@@ -232,6 +232,7 @@ def batch_iterator(
     drop_last: bool = True,
     num_shards: int = 1,
     shard_index: int = 0,
+    with_indices: bool = False,
 ) -> Iterator[Dict[str, np.ndarray]]:
     """Yield stacked fixed-shape batches; per-host sharding replaces
     ``DistributedSampler`` (``datasets/loader.py:50``). With
@@ -241,7 +242,14 @@ def batch_iterator(
     order = np.arange(n)
     if shuffle:
         (rng or np.random.default_rng(0)).shuffle(order)
-    order = order[shard_index::num_shards]
+    if num_shards > 1:
+        # DistributedSampler semantics: wrap-around pad so every shard has
+        # the same length — all processes take the same number of steps
+        # (unequal counts would deadlock the mesh collectives).
+        total = -(-n // num_shards) * num_shards
+        if total > n:
+            order = np.concatenate([order, order[:total - n]])
+        order = order[shard_index::num_shards]
 
     for i in range(0, len(order), batch_size):
         chunk = order[i:i + batch_size]
@@ -258,4 +266,9 @@ def batch_iterator(
         batch = {k: np.stack([e[k] for e in examples])
                  for k in examples[0]}
         batch["_pad"] = pad
+        if with_indices:
+            # dataset indices of each row — consumers that need the source
+            # window (dense extraction) can't rely on iteration order once
+            # the split is sharded across hosts
+            batch["_indices"] = chunk.copy()
         yield batch

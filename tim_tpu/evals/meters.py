@@ -70,6 +70,17 @@ class WindowVoteAccumulator:
             np.add.at(self.seen, ids, 1.0)
             self.a_labels[ids] = labels["class_id"].reshape(-1)[valid]
 
+    def reduce_across_processes(self) -> None:
+        """Merge per-host accumulators in a multi-host run: logit sums and
+        seen-counts add (each action may be voted on from several hosts);
+        labels take max (-1 where unseen). No-op single-process."""
+        from tim_tpu.parallel.multihost import allreduce_host_array
+        for h in self.sums:
+            self.sums[h] = allreduce_host_array(self.sums[h], "sum")
+        self.seen = allreduce_host_array(self.seen, "sum")
+        self.v_labels = allreduce_host_array(self.v_labels, "max")
+        self.a_labels = allreduce_host_array(self.a_labels, "max")
+
     def ensembled_scores(self, head: str) -> Tuple[np.ndarray, np.ndarray]:
         """(softmaxed mean logits, labels) over actions seen for ``head``."""
         if head == "audio":

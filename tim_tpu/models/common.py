@@ -40,14 +40,14 @@ def exact_gelu(x):
 
 class TorchLinear(nn.Module):
     """Dense layer with torch-default init (kaiming-uniform kernel,
-    U(+-1/sqrt(fan_in)) bias)."""
+    U(+-1/sqrt(fan_in)) bias). ``weights(fan_in)`` exposes the raw params
+    for fused Pallas paths that consume them directly."""
 
     features: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        fan_in = x.shape[-1]
+    def weights(self, fan_in: int):
         kernel = self.param(
             "kernel", torch_linear_kernel_init, (fan_in, self.features),
             jnp.float32,
@@ -58,9 +58,29 @@ class TorchLinear(nn.Module):
                 key, shape, fan_in=fan_in),
             (self.features,),
         )
+        return kernel, bias
+
+    def __call__(self, x):
+        kernel, bias = self.weights(x.shape[-1])
         y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
                     preferred_element_type=jnp.float32)
         return (y + bias.astype(jnp.float32)).astype(self.dtype)
+
+
+class LayerNormParams(nn.Module):
+    """Parameter twin of ``nn.LayerNorm``: creates the identical
+    (scale, bias) params (names, shapes, init, fp32) and returns them
+    without applying the norm — for fused Pallas paths. A module named
+    ``normX`` is checkpoint-interchangeable with an ``nn.LayerNorm`` of
+    the same name."""
+
+    @nn.compact
+    def __call__(self, dim: int):
+        scale = self.param("scale", nn.initializers.ones, (dim,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (dim,),
+                          jnp.float32)
+        return scale, bias
 
 
 class Int8Dense(nn.Module):

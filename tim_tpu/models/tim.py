@@ -77,6 +77,7 @@ class _TimBase(nn.Module):
             quantized=cfg.quantized_inference,
             quant_static_acts=cfg.quant_static_acts,
             act_scales=filter_scales(cfg.quant_act_scales, "encoder"),
+            fused_ffn=cfg.use_fused_ffn,
             name="encoder",
         )
 

@@ -17,8 +17,9 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from tim_tpu.models.common import (
-    Int8Dense, TorchLinear, exact_gelu, xavier_uniform)
+    Int8Dense, LayerNormParams, TorchLinear, exact_gelu, xavier_uniform)
 from tim_tpu.ops.attention import tim_attention
+from tim_tpu.ops.pallas_fused import fused_post_attention, fused_supported
 from tim_tpu.ops.quant import filter_scales, scale_for
 
 
@@ -103,6 +104,7 @@ class EncoderLayer(nn.Module):
     quantized: bool = False
     quant_static_acts: bool = False
     act_scales: tuple = ()
+    fused_ffn: bool = False
 
     @nn.compact
     def __call__(self, x, num_ctx: int, deterministic: bool = True,
@@ -113,6 +115,23 @@ class EncoderLayer(nn.Module):
             filter_scales(self.act_scales, "self_attn"), name="self_attn",
         )(x, num_ctx, deterministic=deterministic,
           shared_queries=shared_queries)
+
+        if self.fused_ffn and deterministic and not self.quantized:
+            # Inference: residual + LN1 + FFN + residual + LN2 in one
+            # Pallas VMEM pass (``ops/pallas_fused.py``). Same params,
+            # same numerics; dropout layers are identity here.
+            c = x.shape[-1]
+            ln1_s, ln1_b = LayerNormParams(name="norm1")(c)
+            w1, b1 = TorchLinear(self.dim_feedforward, dtype=self.dtype,
+                                 name="linear1").weights(c)
+            w2, b2 = TorchLinear(self.d_model, dtype=self.dtype,
+                                 name="linear2").weights(
+                                     self.dim_feedforward)
+            ln2_s, ln2_b = LayerNormParams(name="norm2")(c)
+            return fused_post_attention(
+                x, attn, ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b,
+                interpret=not fused_supported())
+
         x = x + nn.Dropout(self.dropout, deterministic=deterministic)(attn)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         x = x.astype(self.dtype)
@@ -153,6 +172,7 @@ class Encoder(nn.Module):
     quantized: bool = False
     quant_static_acts: bool = False
     act_scales: tuple = ()
+    fused_ffn: bool = False
 
     @nn.compact
     def __call__(self, x, num_ctx: int, *, deterministic: bool = True,
@@ -166,6 +186,7 @@ class Encoder(nn.Module):
                 self.dropout, self.dtype, self.quantized,
                 self.quant_static_acts,
                 filter_scales(self.act_scales, f"layer{i}"),
+                self.fused_ffn,
                 name=f"layer{i}",
                 # only layer 0 sees batch-identical query tokens
             )(x, num_ctx, deterministic, shared_queries and i == 0)

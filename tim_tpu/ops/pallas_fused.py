@@ -1,0 +1,138 @@
+"""Pallas TPU kernel: fused post-attention encoder block.
+
+After self-attention, a TIM encoder layer does (post-norm, deterministic
+path of ``recognition/.../models/helpers/transformers.py:92-111``):
+
+    y = LN1(x + attn)
+    z = LN2(y + W2 @ gelu(W1 @ y))
+
+At EPIC detection serving shapes the [B, S, 1024] token tensor is ~235 MB
+(bf16, batch 128); the unfused XLA graph round-trips it through HBM for the
+residual add, both (fp32) LayerNorms, the GELU, and the second residual —
+the measured bf16 path sits at ~59% of the chip's matmul ceiling with the
+gap almost entirely in these elementwise/HBM passes (CLAUDE.md perf log).
+
+This kernel streams row-blocks of tokens through VMEM and performs the
+whole post-attention stack — residual, LN1 (fp32 stats, flax fast-variance
+semantics), FFN matmuls on the MXU with fp32 accumulation, exact GELU,
+residual, LN2 — in one pass. HBM traffic per layer drops to: read x, read
+attn, write z, plus the (resident) FFN weights.
+
+Numerics match the unfused flax stack: adds in the compute dtype, LN in
+fp32 with epsilon 1e-5, matmul accumulation fp32, bias add fp32, GELU
+(erf form) in the compute dtype. Exactness is pinned by tests (interpret
+mode on CPU, compiled on TPU).
+
+The backward pass is not defined — the fused path is used only on
+deterministic (inference/validation) steps; training keeps the unfused
+stack whose backward XLA already fuses well.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+_INV_SQRT2 = 0.7071067811865476
+
+
+def _erf_gelu(x):
+    """Exact (erf-form) GELU. ``jax.nn.gelu(approximate=False)`` lowers
+    through ``erfc``, which Mosaic does not implement; the erf identity is
+    mathematically equal and within 1 ulp in bf16."""
+    x32 = x.astype(jnp.float32)
+    y = 0.5 * x32 * (1.0 + jax.lax.erf(x32 * _INV_SQRT2))
+    return y.astype(x.dtype)
+
+
+def _layernorm_fp32(x32, scale_ref, bias_ref, eps):
+    """flax ``nn.LayerNorm`` fast-variance semantics, fp32 in/out."""
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.maximum(
+        jnp.mean(x32 * x32, axis=-1, keepdims=True) - mu * mu, 0.0)
+    y = (x32 - mu) * jax.lax.rsqrt(var + eps)
+    return y * scale_ref[:] + bias_ref[:]
+
+
+def _fused_kernel(x_ref, a_ref, ln1s_ref, ln1b_ref, w1_ref, b1_ref,
+                  w2_ref, b2_ref, ln2s_ref, ln2b_ref, o_ref, *, eps: float):
+    dt = x_ref.dtype
+    s = x_ref[:] + a_ref[:]                               # residual, dt
+    y32 = _layernorm_fp32(s.astype(jnp.float32), ln1s_ref, ln1b_ref, eps)
+    y = y32.astype(dt)
+
+    h = jnp.dot(y, w1_ref[:], preferred_element_type=jnp.float32)
+    h = _erf_gelu((h + b1_ref[:]).astype(dt))
+    o = jnp.dot(h, w2_ref[:], preferred_element_type=jnp.float32)
+    o = (o + b2_ref[:]).astype(dt)
+
+    z32 = _layernorm_fp32((y + o).astype(jnp.float32), ln2s_ref, ln2b_ref,
+                          eps)
+    o_ref[:] = z32.astype(dt)
+
+
+@functools.partial(jax.jit, static_argnames=("block_rows", "interpret"))
+def fused_post_attention(
+    x: jnp.ndarray,        # [B, S, C] residual stream (pre-attention)
+    attn: jnp.ndarray,     # [B, S, C] attention output (post out-proj)
+    ln1_scale: jnp.ndarray, ln1_bias: jnp.ndarray,       # [C] fp32
+    w1: jnp.ndarray, b1: jnp.ndarray,                    # [C, FF], [FF]
+    w2: jnp.ndarray, b2: jnp.ndarray,                    # [FF, C], [C]
+    ln2_scale: jnp.ndarray, ln2_bias: jnp.ndarray,       # [C] fp32
+    *,
+    block_rows: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """LN2(y + FFN(y)) where y = LN1(x + attn), fused over token blocks."""
+    b, s, c = x.shape
+    ff = w1.shape[1]
+    n = b * s
+    dt = x.dtype
+
+    grid = (pl.cdiv(n, block_rows),)
+    row_spec = pl.BlockSpec((block_rows, c), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def const(shape):
+        return pl.BlockSpec(shape, lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, eps=1e-5),
+        out_shape=jax.ShapeDtypeStruct((n, c), dt),
+        grid=grid,
+        in_specs=[
+            row_spec, row_spec,
+            const((1, c)), const((1, c)),        # ln1 scale/bias
+            const((c, ff)), const((1, ff)),      # w1/b1
+            const((ff, c)), const((1, c)),       # w2/b2
+            const((1, c)), const((1, c)),        # ln2 scale/bias
+        ],
+        out_specs=row_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n * c * ff,
+            bytes_accessed=3 * n * c * x.dtype.itemsize + 4 * c * ff,
+            transcendentals=n * ff,
+        ),
+        interpret=interpret,
+    )(
+        x.reshape(n, c), attn.reshape(n, c),
+        ln1_scale.reshape(1, c).astype(jnp.float32),
+        ln1_bias.reshape(1, c).astype(jnp.float32),
+        w1.astype(dt), b1.reshape(1, ff).astype(jnp.float32),
+        w2.astype(dt), b2.reshape(1, c).astype(jnp.float32),
+        ln2_scale.reshape(1, c).astype(jnp.float32),
+        ln2_bias.reshape(1, c).astype(jnp.float32),
+    )
+    return out.reshape(b, s, c)
+
+
+def fused_supported() -> bool:
+    """True when the default backend compiles Pallas TPU kernels."""
+    from tim_tpu.ops.pallas_attention import supports_pallas
+    return supports_pallas()

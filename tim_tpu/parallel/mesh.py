@@ -106,12 +106,35 @@ def replicate(mesh: Mesh):
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Shard every batch array along its leading (batch) axis."""
+    """Shard every batch array along its leading (batch) axis.
+
+    Single-process: plain ``device_put``. Multi-process: each host holds
+    only its local slice of the global batch (the dataset is sharded per
+    process, ``data/dataset.py:batch_iterator``), so the global array is
+    assembled with ``jax.make_array_from_process_local_data`` — the JAX
+    equivalent of DDP's per-rank batches."""
     sh = NamedSharding(mesh, P("data"))
     scalar = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        def put(x):
+            x = np.asarray(x)
+            if x.ndim >= 1:
+                return jax.make_array_from_process_local_data(sh, x)
+            return jax.device_put(x, scalar)
+        return jax.tree_util.tree_map(put, batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(
             x, sh if np.ndim(x) >= 1 else scalar), batch)
+
+
+def host_local_rows(x) -> np.ndarray:
+    """This process's rows of a batch-sharded global array (the rows it
+    contributed via ``shard_batch``). Single-process: the whole array."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    shards = sorted(x.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 
 def prefetch_to_device(batch_iter, mesh: Mesh, size: int = 2):

@@ -63,6 +63,18 @@ def allreduce_host_scalars(values: dict) -> dict:
     return dict(zip(keys, mean.tolist()))
 
 
+def allreduce_host_array(x: np.ndarray, op: str = "sum") -> np.ndarray:
+    """Element-wise reduce a host numpy array across processes (sum/max) —
+    used to merge per-host metric accumulators (the reference gathers
+    meter tensors with ``du.all_gather`` then ``index_add_``s on rank 0).
+    Single-process: identity."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+    gathered = np.asarray(multihost_utils.process_allgather(np.asarray(x)))
+    return gathered.max(axis=0) if op == "max" else gathered.sum(axis=0)
+
+
 def barrier(name: str = "barrier") -> None:
     if jax.process_count() == 1:
         return

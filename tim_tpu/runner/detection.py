@@ -17,7 +17,8 @@ from tim_tpu.evals.meters import LossAverager
 from tim_tpu.models import TimDetection
 from tim_tpu.models.queries import generate_query_pyramid
 from tim_tpu.parallel import make_mesh, shard_batch, shard_train_state
-from tim_tpu.parallel.mesh import prefetch_to_device
+from tim_tpu.parallel.mesh import host_local_rows, prefetch_to_device
+from tim_tpu.parallel.multihost import allgather_host_arrays
 from tim_tpu.train import checkpoint as ckpt
 from tim_tpu.train import detection as steps
 from tim_tpu.train.optim import make_optimizer
@@ -99,6 +100,20 @@ class DetectionRunner:
         self.best_loss = float("inf")
         self.last_best_epoch = 0
 
+        # Multi-host: each process loads 1/Nth of every global batch (the
+        # reference's ``--num_shards/--shard_id`` + DistributedSampler).
+        nproc = jax.process_count()
+        assert tcfg.batch_size % nproc == 0, (
+            f"batch_size {tcfg.batch_size} not divisible by "
+            f"{nproc} processes")
+        self._local_bs = tcfg.batch_size // nproc
+        self._shard_args = dict(num_shards=nproc,
+                                shard_index=jax.process_index())
+        if use_device_bank and nproc > 1:
+            raise NotImplementedError(
+                "device-bank training is single-host (the bank would need "
+                "a globally sharded HBM table)")
+
     # ------------------------------------------------------------------
     def init_state(self, rng: Optional[jax.Array] = None,
                    pretrained: Optional[str] = None):
@@ -164,8 +179,8 @@ class DetectionRunner:
 
         for i, batch in enumerate(prefetch_to_device(
                 strip_pad(batch_iterator(
-                    self.train_ds, self.tcfg.batch_size, shuffle=True,
-                    rng=epoch_rng)), self.mesh)):
+                    self.train_ds, self._local_bs, shuffle=True,
+                    rng=epoch_rng, **self._shard_args)), self.mesh)):
             self.state, metrics = self._train_step(self.state, batch, rng)
             if i % self.print_freq == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
@@ -209,8 +224,8 @@ class DetectionRunner:
         425-444``). Uses the train step's loss math without updating."""
         avg = LossAverager()
         self.val_ds.sample_augmentations = False
-        for batch in batch_iterator(self.val_ds, self.tcfg.batch_size,
-                                    shuffle=False):
+        for batch in batch_iterator(self.val_ds, self._local_bs,
+                                    shuffle=False, **self._shard_args):
             batch.pop("_pad", None)
             batch = shard_batch(batch, self.mesh)
             metrics = self._val_step(self.state, batch)
@@ -260,23 +275,20 @@ class DetectionRunner:
         column arrays ready for ``evals.format_predictions``."""
         ds = dataset or self.val_ds
         ds.sample_augmentations = False
-        video_ids, proposals, queries = [], [], []
+        win_idx, proposals, queries = [], [], []
         scores: Dict[str, list] = {}
 
         windows = ds.windows.windows
-        idx = 0
-        for batch in batch_iterator(ds, self.tcfg.batch_size,
-                                    shuffle=False, drop_last=False):
-            batch.pop("_pad", None)
-            n = batch["times"].shape[0]
+        for batch in batch_iterator(ds, self._local_bs,
+                                    shuffle=False, drop_last=False,
+                                    with_indices=True, **self._shard_args):
+            pad = batch.pop("_pad", 0)
+            idxs = batch.pop("_indices")
+            take = self._local_bs - pad
             out = self._infer_step(self.state.params, shard_batch(
                 batch, self.mesh))
-            out = {k: np.asarray(v) for k, v in out.items()}
-            batch_windows = windows[idx:idx + n]
-            idx += n
-            take = len(batch_windows)  # final batch may be padded
-            for j in range(take):
-                video_ids.append(batch_windows[j].video_id)
+            out = {k: host_local_rows(v) for k, v in out.items()}
+            win_idx.append(idxs[:take])
             queries.append(out["queries"][:take])
             if "v_proposals" in out:
                 proposals.append(out["v_proposals"][:take])
@@ -293,15 +305,27 @@ class DetectionRunner:
                 scores.setdefault("a_proposals", []).append(
                     out["a_proposals"][:take])
 
+        # multi-host: concatenate every host's shard; then drop the
+        # wrap-around duplicates the equal-shard padding introduces
+        win_idx = allgather_host_arrays(
+            np.concatenate(win_idx).astype(np.int64))
+        queries = allgather_host_arrays(np.concatenate(queries))
+        _, first = np.unique(win_idx, return_index=True)
+        keep = np.sort(first)
+        win_idx = win_idx[keep]
+
         nq = self.num_queries
+        video_ids = np.asarray([windows[int(j)].video_id for j in win_idx],
+                               object)
         result = {
-            "video_ids": np.repeat(np.asarray(video_ids, object), nq),
-            "queries": np.concatenate(queries).reshape(-1, 2),
+            "video_ids": np.repeat(video_ids, nq),
+            "queries": queries[keep].reshape(-1, 2),
         }
         if proposals:
-            result["v_proposals"] = np.concatenate(proposals).reshape(-1, 2)
+            result["v_proposals"] = allgather_host_arrays(
+                np.concatenate(proposals))[keep].reshape(-1, 2)
         for key, chunks in scores.items():
-            arr = np.concatenate(chunks)
+            arr = allgather_host_arrays(np.concatenate(chunks))[keep]
             result[key] = arr.reshape(-1, arr.shape[-1])
         return result
 

@@ -19,7 +19,7 @@ from tim_tpu.data.dataset import RecognitionDataset, batch_iterator
 from tim_tpu.evals.meters import LossAverager, WindowVoteAccumulator
 from tim_tpu.models import TimRecognition
 from tim_tpu.parallel import make_mesh, shard_batch, shard_train_state
-from tim_tpu.parallel.mesh import prefetch_to_device
+from tim_tpu.parallel.mesh import host_local_rows, prefetch_to_device
 from tim_tpu.train import checkpoint as ckpt
 from tim_tpu.train import recognition as steps
 from tim_tpu.train.optim import make_optimizer
@@ -114,6 +114,21 @@ class RecognitionRunner:
                      "combined": 0.0}
         self.last_best_epoch = 0
 
+        # Multi-host: each process loads 1/Nth of every global batch
+        # (``--num_shards/--shard_id`` + DistributedSampler in the
+        # reference, ``utils/parser.py:160-184``, ``loader.py:50``).
+        nproc = jax.process_count()
+        assert tcfg.batch_size % nproc == 0, (
+            f"batch_size {tcfg.batch_size} not divisible by "
+            f"{nproc} processes")
+        self._local_bs = tcfg.batch_size // nproc
+        self._shard_args = dict(num_shards=nproc,
+                                shard_index=jax.process_index())
+        if use_device_bank and nproc > 1:
+            raise NotImplementedError(
+                "device-bank training is single-host (the bank would need "
+                "a globally sharded HBM table)")
+
     # ------------------------------------------------------------------
     def init_state(self, rng: Optional[jax.Array] = None,
                    pretrained: Optional[str] = None):
@@ -171,8 +186,9 @@ class RecognitionRunner:
                 yield b
 
         it = prefetch_to_device(
-            strip_pad(batch_iterator(self.train_ds, self.tcfg.batch_size,
-                                     shuffle=True, rng=epoch_rng)),
+            strip_pad(batch_iterator(self.train_ds, self._local_bs,
+                                     shuffle=True, rng=epoch_rng,
+                                     **self._shard_args)),
             self.mesh)
         timer.iter_tic()
         for i, batch in enumerate(it):
@@ -225,18 +241,20 @@ class RecognitionRunner:
             self.val_ds.windows.num_actions, _head_spec(self.cfg))
         avg = LossAverager()
         self.val_ds.sample_augmentations = False
-        it = batch_iterator(self.val_ds, self.tcfg.batch_size,
-                            shuffle=False, drop_last=False)
+        it = batch_iterator(self.val_ds, self._local_bs,
+                            shuffle=False, drop_last=False,
+                            **self._shard_args)
         for batch in it:
             pad = batch.pop("_pad", 0)
-            take = self.tcfg.batch_size - pad
+            take = self._local_bs - pad
             dev_batch = shard_batch(
                 {k: v for k, v in batch.items()
                  if k not in ("v_action_ids", "a_action_ids")}, self.mesh)
             logits, losses = self._eval_step(self.state.params, dev_batch)
-            # padded duplicate rows must not vote twice
+            # padded duplicate rows must not vote twice; each host votes
+            # with its own rows of the global batch
             acc.update(
-                {k: np.asarray(v)[:take] for k, v in logits.items()},
+                {k: host_local_rows(v)[:take] for k, v in logits.items()},
                 batch.get("v_action_ids", np.zeros((0, 0)))[:take]
                 if "v_action_ids" in batch else None,
                 batch.get("a_action_ids", np.zeros((0, 0)))[:take]
@@ -246,6 +264,7 @@ class RecognitionRunner:
                  if k in batch})
             avg.update({k: float(v) for k, v in losses.items()})
 
+        acc.reduce_across_processes()
         stats = acc.summarize(self.dataset_name)
         stats.update(avg.averages())
         log_json_stats(self.logger, {"split": "val", "epoch": epoch + 1,
@@ -306,15 +325,16 @@ class RecognitionRunner:
         acc = WindowVoteAccumulator(
             ds.windows.num_actions, _head_spec(self.cfg))
         ds.sample_augmentations = False
-        for batch in batch_iterator(ds, self.tcfg.batch_size,
-                                    shuffle=False, drop_last=False):
+        for batch in batch_iterator(ds, self._local_bs,
+                                    shuffle=False, drop_last=False,
+                                    **self._shard_args):
             pad = batch.pop("_pad", 0)
-            take = self.tcfg.batch_size - pad
+            take = self._local_bs - pad
             dev_batch = shard_batch(
                 {k: v for k, v in batch.items()
                  if k not in ("v_action_ids", "a_action_ids")}, self.mesh)
             logits, _ = self._eval_step(self.state.params, dev_batch)
-            acc.update({k: np.asarray(v)[:take]
+            acc.update({k: host_local_rows(v)[:take]
                         for k, v in logits.items()},
                        batch.get("v_action_ids", np.zeros((0, 0)))[:take]
                        if "v_action_ids" in batch else None,
@@ -323,6 +343,8 @@ class RecognitionRunner:
                        {k: batch[k][:take] for k in
                         ("verb", "noun", "action", "class_id")
                         if k in batch})
+
+        acc.reduce_across_processes()
 
         # narration-id tables in action-id order
         v_nid = {}
