@@ -258,6 +258,7 @@ def evaluate_detections(
     n_jobs: int = 1,
     submission_path: Optional[str] = None,
     task: str = "action",
+    challenge: str = "action_detection",
 ):
     """Full pipeline: dense dump -> mAP. Returns (mAP per tIoU, avg mAP,
     submission dict)."""
@@ -265,7 +266,7 @@ def evaluate_detections(
                                   score_threshold)
     dets = nms_per_video(cands, iou_threshold=iou_threshold, sigma=sigma,
                          n_jobs=n_jobs)
-    submission = build_submission(dets, task=task)
+    submission = build_submission(dets, task=task, challenge=challenge)
     if submission_path:
         with open(submission_path, "w") as f:
             json.dump(submission, f, indent=4, separators=(",", ": "))
