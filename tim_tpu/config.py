@@ -218,8 +218,11 @@ def perception_recognition(**overrides) -> ModelConfig:
 
 
 def ave_recognition(**overrides) -> ModelConfig:
+    # AVEL-standard feature dims: VGG 7x7x512 spatial maps (stored flat as
+    # [T, A, 49*512]) + 128-d audio (``pool.py:10`` a_dim/v_dim defaults).
     cfg = ModelConfig(visual_classes=(29,), audio_classes=29,
-                      include_verb_noun=False, apply_feature_pooling=True)
+                      include_verb_noun=False, apply_feature_pooling=True,
+                      visual_input_dim=512, audio_input_dim=128)
     return dataclasses.replace(cfg, **overrides)
 
 

@@ -23,6 +23,10 @@ class AVGA(nn.Module):
         """audio: [B, T, Da]; video: [B, T, P, Dv] (P spatial positions).
         Returns attended video [B, T, Dv]."""
         b, t, p, dv = video.shape
+        assert p == self.map_size, (
+            f"AVGA requires P == map_size ({self.map_size}); got P={p}. "
+            "The AVEL design ties the attention projection to a 7x7 grid "
+            "(reference pool.py:10).")
         v = video.reshape(b * t, p, dv).astype(self.dtype)
         a = audio.reshape(b * t, -1).astype(self.dtype)
 

@@ -109,6 +109,13 @@ class _TimBase(nn.Module):
             # step, which flax's lazy init would otherwise never see)
             self.drloc(jnp.zeros((1, 1, 2 * cfg.encoder_width)))
         if cfg.apply_feature_pooling:
+            if v_feats.ndim == 3:
+                # reference AVE npy layout stores the 7x7 map flattened
+                # into the channel dim ([T, A, P*Dv]); the model reshapes
+                # before pooling (``recognition tim.py:155-156`` +
+                # ``pool.py:30`` view semantics)
+                b, t = v_feats.shape[:2]
+                v_feats = v_feats.reshape(b, t, -1, cfg.visual_input_dim)
             v_feats = self.pool(a_feats, v_feats)
         x = self.feature_encoding(
             v_feats, a_feats, time_encodings,
