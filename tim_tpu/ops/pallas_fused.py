@@ -133,6 +133,10 @@ def fused_post_attention(
             bytes_accessed=3 * n * c * x.dtype.itemsize + 4 * c * ff,
             transcendentals=n * ff,
         ),
+        # v5e carries 128 MB VMEM; the default 16 MB scoped limit rejects
+        # the resident FFN weights (8 MB bf16) + double-buffered blocks.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(
         x.reshape(n, c), attn.reshape(n, c),

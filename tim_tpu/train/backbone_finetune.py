@@ -145,3 +145,23 @@ def make_finetune_step(
         return state, metrics
 
     return step
+
+
+def make_pretrain_step(model, tx: optax.GradientTransformation):
+    """MAE pretraining step: masked-tube pixel reconstruction
+    (``tim_tpu/models/backbones/mae.py``; mask sampling happens on host via
+    ``tim_tpu/extract/masking.py`` so index shapes stay static)."""
+    from tim_tpu.models.backbones.mae import pretrain_loss
+
+    def step(state: TrainState, video, visible_idx, masked_idx):
+        def loss_fn(params):
+            pred = model.apply({"params": params}, video, visible_idx,
+                               masked_idx)
+            return pretrain_loss(pred, video, masked_idx,
+                                 model.tubelet_size, model.patch_size)
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        state = state.apply_gradients(grads)
+        return state, {"loss": loss}
+
+    return step
