@@ -100,12 +100,15 @@ def random_erasing(
     area_range: Tuple[float, float] = (0.02, 1 / 3),
     aspect_range: Tuple[float, float] = (0.3, 3.3),
     per_frame: bool = False,
+    normalized: bool = False,
     rng: Optional[random.Random] = None,
 ) -> np.ndarray:
     """Cutout-style random erasing with per-pixel gaussian fill (timm
     'pixel' mode, used by the VideoMAE finetuning recipe,
     ``VideoMAE/random_erasing.py``). With ``per_frame=False`` one region is
-    erased consistently across the clip."""
+    erased consistently across the clip. ``normalized=True`` fills with
+    N(0, 1) and skips the [0, 255] clamp — the reference applies erasing
+    AFTER ImageNet normalization (``ek100.py:253-264``)."""
     rng = rng or random
     if rng.random() >= probability:
         return frames
@@ -121,14 +124,19 @@ def random_erasing(
             top = rng.randrange(0, h - eh)
             left = rng.randrange(0, w - ew)
             np_rng = np.random.default_rng(rng.randrange(2 ** 31))
+
+            def fill(shape):
+                noise = np_rng.normal(size=shape)
+                return noise if normalized else noise * 50 + 128
+
             if per_frame:
                 for f in range(t):
-                    out[f, top:top + eh, left:left + ew] = \
-                        np_rng.normal(size=(eh, ew, c)) * 50 + 128
+                    out[f, top:top + eh, left:left + ew] = fill((eh, ew, c))
             else:
-                fill = np_rng.normal(size=(eh, ew, c)) * 50 + 128
-                out[:, top:top + eh, left:left + ew] = fill
+                out[:, top:top + eh, left:left + ew] = fill((eh, ew, c))
             break
+    if normalized:
+        return out.astype(frames.dtype)
     return np.clip(out, 0, 255).astype(frames.dtype)
 
 

@@ -23,6 +23,21 @@ fp32 with epsilon 1e-5, matmul accumulation fp32, bias add fp32, GELU
 (erf form) in the compute dtype. Exactness is pinned by tests (interpret
 mode on CPU, compiled on TPU).
 
+MEASURED RESULT (v5e, bench shapes, scripts/bench_fused{,_micro}.py):
+the kernel LOSES to XLA end-to-end — 851 vs 965 windows/s (0.88x),
+stable across block_rows 256..2048. Attribution:
+  XLA matmul-only        141.4 TFLOP/s   (near the ~160 ceiling)
+  XLA full unfused chain 119.7 TFLOP/s   (85% fusion efficiency!)
+  Pallas matmul-only     115.0 TFLOP/s   (Mosaic block matmul -19% vs XLA)
+  Pallas fused full      101.9 TFLOP/s   (VPU LN/GELU serialize with MXU)
+XLA already folds the residual/LN/GELU passes into its matmul pipeline so
+well that perfect fusion could recover at most 8.05/6.82 = 1.18x on the
+FFN segment (~8% end-to-end); Mosaic's generic per-block matmul gives up
+more than that, and its VPU stages don't overlap the MXU across grid
+steps. Kept opt-in (``use_fused_ffn``) as the starting point if shapes
+change (e.g. much wider FFN); the perf lever on this chip is int8 serving
+(``ops/quant.py``), not bf16 fusion.
+
 The backward pass is not defined — the fused path is used only on
 deterministic (inference/validation) steps; training keeps the unfused
 stack whose backward XLA already fuses well.

@@ -31,10 +31,12 @@ def vit_layer_index(path: Tuple[str, ...], depth: int) -> int:
     """Parameter -> LLRD layer id (``optim_factory.py:30-42``): patch
     embedding and position tables at 0, block i at i+1, everything else
     (norm/head) at depth+1."""
+    if path and path[0] == "trunk":   # TwoHeadViT nests the ViT trunk
+        path = path[1:]
     name = path[0] if path else ""
     if name in ("patch_embed", "pos_embed", "cls_token"):
         return 0
-    if name.startswith("block"):
+    if name.startswith("block") and not name.startswith("decoder"):
         return int(name.replace("block", "")) + 1
     return depth + 1
 
