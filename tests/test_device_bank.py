@@ -159,3 +159,64 @@ def test_device_gather_aug_sampling_under_jit():
             row = out[bi, fi]
             cands = feats["v"][int(idx[bi, fi])]
             assert any(np.allclose(row, c) for c in cands)
+
+
+def test_detection_bank_val_and_extract_match_host():
+    """Bank-backed validation losses and dense extraction must match the
+    host-assembly paths exactly (single augmentation set)."""
+    from tim_tpu import config as C
+    from tim_tpu.data.dataset import DetectionDataset
+    from tim_tpu.data.windows import build_detection_windows
+    from tim_tpu.runner import DetectionRunner
+
+    b = synthetic.synthetic_epic(seed=5, num_videos=2, video_seconds=40.0,
+                                 per_video=6, visual_dim=16, audio_dim=12,
+                                 visual_classes=(4,), audio_classes=3)
+    num_feats = 6
+    window_size = num_feats * 2 * 0.2
+    v_norm = normalize_actions(b["v_actions"], "visual", detection=True,
+                               window_size=window_size)
+    a_norm = normalize_actions(b["a_actions"], "audio", detection=True,
+                               window_size=window_size)
+    ws = build_detection_windows(
+        v_norm, a_norm, b["video_info"], b["v_feat_times"],
+        num_feats=num_feats, feat_stride=2, feat_gap=0.2)
+    v1 = {k: v[:, :1] for k, v in b["v_feats"].items()}
+    a1 = {k: v[:, :1] for k, v in b["a_feats"].items()}
+    v_store = FeatureStore(v1, b["v_feat_times"])
+    a_store = FeatureStore(a1, b["a_feat_times"])
+    ds = DetectionDataset(ws, v_store, a_store, sample_augmentations=False,
+                          include_verb_noun=False,
+                          dataset_name="synthetic")
+    cfg = C.DetectionConfig(
+        visual_classes=(4,), audio_classes=3,
+        visual_input_dim=16, audio_input_dim=12, d_model=16, nhead=2,
+        num_layers=1, num_feats=num_feats, compute_dtype="float32",
+        train_query_size=0.1, inference_query_size=0.2)
+    tcfg = C.TrainConfig(batch_size=4, lambda_drloc=0.0)
+
+    host = DetectionRunner(cfg, tcfg, ds, ds,
+                           mesh_cfg=C.MeshConfig(data=1))
+    host.init_state()
+    banked = DetectionRunner(cfg, tcfg, ds, ds,
+                             mesh_cfg=C.MeshConfig(data=1),
+                             use_device_bank=True)
+    banked.init_state()
+    banked.state = banked.state.replace(params=host.state.params)
+
+    # validation losses agree
+    sv = host.validate()
+    sb = banked.validate()
+    for k in sv:
+        np.testing.assert_allclose(sb[k], sv[k], rtol=1e-5,
+                                   err_msg=f"val stat {k}")
+
+    # dense extraction agrees
+    dh = host.extract_dense_predictions()
+    db = banked.extract_dense_predictions()
+    assert list(dh["video_ids"]) == list(db["video_ids"])
+    for k in dh:
+        if k == "video_ids":
+            continue
+        np.testing.assert_allclose(db[k], dh[k], atol=1e-5,
+                                   err_msg=f"dump key {k}")

@@ -71,6 +71,8 @@ class DetectionRunner:
 
         # Device-bank path: whole split in HBM, batch = window ids.
         self._bank_step = None
+        self._bank_val = None
+        self._bank_infer = None
         if use_device_bank and train_ds is not None:
             from tim_tpu.data.device_bank import (
                 DetectionWindowTables, DeviceFeatureBank)
@@ -95,6 +97,42 @@ class DetectionRunner:
                 return bank_step(state, tables.batch(window_ids), rng)
 
             self._bank_step = jax.jit(step_by_ids, donate_argnums=(0,))
+
+        if use_device_bank and val_ds is not None:
+            from tim_tpu.data.device_bank import (
+                DetectionWindowTables, DeviceFeatureBank,
+                gather_window_batch)
+            vv_bank = (DeviceFeatureBank(val_ds.visual.feats)
+                       if val_ds.visual is not None else None)
+            va_bank = (DeviceFeatureBank(val_ds.audio.feats)
+                       if val_ds.audio is not None else None)
+            self._val_tables = DetectionWindowTables(
+                val_ds.windows, vv_bank, va_bank,
+                val_ds.visual.feat_times
+                if val_ds.visual is not None else None,
+                val_ds.audio.feat_times
+                if val_ds.audio is not None else None,
+                verb_only=val_ds.verb_only,
+                include_verb_noun=val_ds.include_verb_noun,
+                dataset_name=val_ds.dataset_name)
+            vtables = self._val_tables
+            base_val = self._val_step
+            base_infer = self._infer_step
+
+            def _with_feats(ids):
+                batch = vtables.batch(ids)
+                v, a = gather_window_batch(
+                    vv_bank, va_bank, batch.pop("feat_indices"), rng=None)
+                if v is not None:
+                    batch["v_feats"] = v
+                if a is not None:
+                    batch["a_feats"] = a
+                return batch
+
+            self._bank_val = jax.jit(
+                lambda state, ids: base_val(state, _with_feats(ids)))
+            self._bank_infer = jax.jit(
+                lambda params, ids: base_infer(params, _with_feats(ids)))
 
         self.state = None
         self.best_loss = float("inf")
@@ -224,6 +262,15 @@ class DetectionRunner:
         425-444``). Uses the train step's loss math without updating."""
         avg = LossAverager()
         self.val_ds.sample_augmentations = False
+        if self._bank_val is not None:
+            bs = self.tcfg.batch_size
+            n = self._val_tables.num_windows
+            for i in range(0, n - bs + 1, bs):
+                metrics = self._bank_val(
+                    self.state, jnp.arange(i, i + bs, dtype=jnp.int32))
+                avg.update({k: float(v) for k, v in metrics.items()
+                            if k.startswith("loss")})
+            return self._log_val(avg, epoch)
         for batch in batch_iterator(self.val_ds, self._local_bs,
                                     shuffle=False, **self._shard_args):
             batch.pop("_pad", None)
@@ -231,6 +278,9 @@ class DetectionRunner:
             metrics = self._val_step(self.state, batch)
             avg.update({k: float(v) for k, v in metrics.items()
                         if k.startswith("loss")})
+        return self._log_val(avg, epoch)
+
+    def _log_val(self, avg: LossAverager, epoch: int) -> Dict[str, float]:
         stats = avg.averages()
         log_json_stats(self.logger, {"split": "val", "epoch": epoch + 1,
                                      **stats})
@@ -279,16 +329,9 @@ class DetectionRunner:
         scores: Dict[str, list] = {}
 
         windows = ds.windows.windows
-        for batch in batch_iterator(ds, self._local_bs,
-                                    shuffle=False, drop_last=False,
-                                    with_indices=True, **self._shard_args):
-            pad = batch.pop("_pad", 0)
-            idxs = batch.pop("_indices")
-            take = self._local_bs - pad
-            out = self._infer_step(self.state.params, shard_batch(
-                batch, self.mesh))
-            out = {k: host_local_rows(v) for k, v in out.items()}
-            win_idx.append(idxs[:take])
+
+        def collect(out, idxs, take):
+            win_idx.append(np.asarray(idxs[:take]))
             queries.append(out["queries"][:take])
             if "v_proposals" in out:
                 proposals.append(out["v_proposals"][:take])
@@ -304,6 +347,32 @@ class DetectionRunner:
                     out["a_scores"][:take])
                 scores.setdefault("a_proposals", []).append(
                     out["a_proposals"][:take])
+
+        if self._bank_infer is not None and dataset is None:
+            # HBM-resident path: batches are just window-id ranges
+            bs = self.tcfg.batch_size
+            n = self._val_tables.num_windows
+            for i in range(0, n, bs):
+                ids = np.arange(i, min(i + bs, n))
+                pad = bs - len(ids)
+                ids_p = np.concatenate([ids, np.full(pad, ids[-1])]) \
+                    if pad else ids
+                out = self._bank_infer(self.state.params,
+                                       jnp.asarray(ids_p, jnp.int32))
+                out = {k: np.asarray(v) for k, v in out.items()}
+                collect(out, ids_p, len(ids))
+        else:
+            for batch in batch_iterator(ds, self._local_bs,
+                                        shuffle=False, drop_last=False,
+                                        with_indices=True,
+                                        **self._shard_args):
+                pad = batch.pop("_pad", 0)
+                idxs = batch.pop("_indices")
+                take = self._local_bs - pad
+                out = self._infer_step(self.state.params, shard_batch(
+                    batch, self.mesh))
+                out = {k: host_local_rows(v) for k, v in out.items()}
+                collect(out, idxs, take)
 
         # multi-host: concatenate every host's shard; then drop the
         # wrap-around duplicates the equal-shard padding introduces

@@ -173,6 +173,57 @@ class DetectionServer:
         self.num_queries = generate_query_pyramid(
             cfg.inference_query_size).shape[0]
 
+    @classmethod
+    def quantized(cls, cfg: DetectionConfig, params, calibration_batches,
+                  **kwargs) -> "DetectionServer":
+        """Static-int8 serving mode: per-out-channel int8 weights
+        (``ops.quant.quantize_params``) + calibrated per-layer activation
+        scales baked as compile-time constants (measured 1.16x the bf16
+        path on v5e; accuracy bound qualified on trained weights in
+        ``tests/test_quant_accuracy.py``).
+
+        ``calibration_batches``: iterable of inference batches (the dicts
+        ``make_inference_step`` takes, or None for a zero batch) run once
+        through the dynamic-quant path to observe activation maxima.
+        """
+        import dataclasses
+
+        from tim_tpu.models.queries import generate_query_pyramid as gqp
+        from tim_tpu.ops import quant
+
+        qcfg = dataclasses.replace(cfg, quantized_inference=True)
+        qmodel = TimDetection(qcfg)
+        qparams = quant.quantize_params(params)
+        nq = gqp(cfg.inference_query_size).shape[0]
+        nv = nq if "visual" in cfg.data_modality else 0
+        na = nq if "audio" in cfg.data_modality else 0
+
+        def apply_fn(variables, batch, mutable):
+            nf = cfg.num_context
+            if batch is None:
+                b = 1
+                v = (jnp.zeros((b, cfg.num_feats, cfg.visual_input_dim))
+                     if "visual" in cfg.input_modality else None)
+                a = (jnp.zeros((b, cfg.num_feats, cfg.audio_input_dim))
+                     if "audio" in cfg.input_modality else None)
+                times = jnp.zeros((b, nf + nv + na, 2))
+            else:
+                v = batch.get("v_feats")
+                a = batch.get("a_feats")
+                b = (v if v is not None else a).shape[0]
+                times = jnp.concatenate(
+                    [batch["times"],
+                     jnp.zeros((b, nv + na, 2), jnp.float32)], axis=1)
+            return qmodel.apply(variables, v, a, times, nv, na,
+                                deterministic=True, mutable=mutable)
+
+        calibrated = quant.calibrate_act_scales(
+            apply_fn, {"params": qparams}, list(calibration_batches))
+        scfg = dataclasses.replace(
+            qcfg, quant_static_acts=True,
+            quant_act_scales=quant.act_scales_tuple(calibrated))
+        return cls(scfg, qparams, **kwargs)
+
     # ------------------------------------------------------------------
     def _window_starts(self, duration: float) -> np.ndarray:
         dur = math.ceil(duration)
