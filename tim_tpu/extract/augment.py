@@ -84,10 +84,21 @@ def time_mask(spec: np.ndarray, max_width: int = 25, num_masks: int = 1,
 
 
 def spec_augment(spec: np.ndarray,
-                 rng: Optional[random.Random] = None) -> np.ndarray:
+                 rng: Optional[random.Random] = None,
+                 exact_warp: bool = True) -> np.ndarray:
     """The reference's combined transform (warp + 2 freq masks + 2 time
-    masks, ``spec_augment.py`` combined_transforms)."""
-    spec = time_warp(spec, rng=rng)
+    masks, ``spec_augment.py`` combined_transforms). ``exact_warp`` uses
+    the faithful sparse-image-warp port (``extract/spec_warp.py``,
+    reference quirks included); False keeps the earlier piecewise-linear
+    resample approximation."""
+    if exact_warp:
+        from tim_tpu.extract.spec_warp import time_warp_exact
+        seed = (rng or random).randrange(2 ** 31)
+        # spec is [T, F] here; the reference warps [F, T]
+        spec = time_warp_exact(
+            spec.T, rng=np.random.default_rng(seed)).T
+    else:
+        spec = time_warp(spec, rng=rng)
     spec = freq_mask(spec, num_masks=2, rng=rng)
     spec = time_mask(spec, num_masks=2, rng=rng)
     return spec
