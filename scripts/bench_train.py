@@ -104,5 +104,8 @@ def bench_detection(batch_size=32, iters=10):
 
 
 if __name__ == "__main__":
+    import sys
+    sizes = [int(a) for a in sys.argv[1:]]
     bench_recognition()
-    bench_detection()
+    for bs in sizes or [32]:
+        bench_detection(batch_size=bs)

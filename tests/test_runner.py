@@ -177,3 +177,38 @@ def test_detection_runner_fit_and_map(bundle, tmp_path):
     dump = runner.extract_dense_predictions()
     assert dump["v_proposals"].shape[0] == dump["video_ids"].shape[0]
     assert dump["action"].shape[1] == 4
+
+
+def test_detection_fit_with_periodic_mAP(bundle, tmp_path):
+    """fit(eval_mAP_gt=...) logs in-training mAP (beyond the reference's
+    loss-only model selection)."""
+    num_feats = 8
+    window_size = num_feats * 2 * 0.2
+    v_norm = normalize_actions(bundle["v_actions"], "visual",
+                               detection=True, window_size=window_size)
+    a_norm = normalize_actions(bundle["a_actions"], "audio",
+                               detection=True, window_size=window_size)
+    ws = build_detection_windows(
+        v_norm, a_norm, bundle["video_info"], bundle["v_feat_times"],
+        num_feats=num_feats, feat_stride=2, feat_gap=0.2)
+    v_store, a_store = _stores(bundle)
+    ds = DetectionDataset(ws, v_store, a_store, include_verb_noun=False,
+                          dataset_name="synthetic",
+                          sample_augmentations=False)
+    cfg = C.DetectionConfig(
+        visual_classes=(4,), audio_classes=3,
+        visual_input_dim=24, audio_input_dim=16, d_model=16, nhead=2,
+        num_layers=1, num_feats=num_feats, compute_dtype="float32",
+        train_query_size=0.1, inference_query_size=0.2)
+    tcfg = C.TrainConfig(batch_size=8, epochs=1, warmup_epochs=0,
+                         lr=1e-3, lambda_drloc=0.0, normaliser_init=10.0)
+    runner = DetectionRunner(cfg, tcfg, ds, ds, output_dir=str(tmp_path),
+                             print_freq=50)
+    gt = gt_to_columns(
+        v_norm["video_id"].to_numpy(object),
+        v_norm["start_sec"].to_numpy(), v_norm["stop_sec"].to_numpy(),
+        v_norm["action_class"].to_numpy())
+    stats = runner.fit(eval_mAP_gt=gt, eval_mAP_every=1,
+                       score_threshold=0.01, n_jobs=1)
+    assert "val_avg_mAP" in stats
+    assert 0.0 <= stats["val_avg_mAP"] <= 1.0

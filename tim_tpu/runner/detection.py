@@ -290,7 +290,14 @@ class DetectionRunner:
 
     # ------------------------------------------------------------------
     def fit(self, epochs: Optional[int] = None,
-            start_epoch: int = 0) -> Dict[str, float]:
+            start_epoch: int = 0,
+            eval_mAP_gt=None, eval_mAP_every: int = 5,
+            **map_kwargs) -> Dict[str, float]:
+        """Train + validate per epoch. ``eval_mAP_gt`` (evaluator GT
+        columns) enables periodic in-training mAP over the val split —
+        the reference selects models by val loss only and never sees mAP
+        until the offline eval chain; here it is one call away
+        (``evaluate_mAP``), so surface it during training."""
         epochs = epochs or self.tcfg.epochs
         rng = jax.random.PRNGKey(self.tcfg.seed)
         if self.state is None:
@@ -299,6 +306,13 @@ class DetectionRunner:
         for epoch in range(start_epoch, epochs):
             self.train_epoch(epoch, rng)
             stats = self.validate(epoch)
+            if (eval_mAP_gt is not None and eval_mAP_every > 0
+                    and (epoch + 1) % eval_mAP_every == 0):
+                _, avg, _ = self.evaluate_mAP(eval_mAP_gt, **map_kwargs)
+                stats["val_avg_mAP"] = float(avg)
+                log_json_stats(self.logger, {
+                    "split": "val_mAP", "epoch": epoch + 1,
+                    "avg_mAP": float(avg)})
             final = stats
             is_best = "none"
             if stats.get("loss", float("inf")) < self.best_loss:
