@@ -57,13 +57,67 @@ def test_extract_clip_spectrogram_shape_and_padding():
     np.testing.assert_allclose(short[-1], short[-2])
 
 
-def test_uniform_clip_indices():
-    s, e = A.uniform_clip_indices(1000, 200, 0, 5)
-    assert (s, e) == (0, 200)
-    s, e = A.uniform_clip_indices(1000, 200, 4, 5)
-    assert (s, e) == (800, 1000)
-    s, e = A.uniform_clip_indices(1000, 200, 0, 1)
-    assert (s, e) == (400, 600)
+def test_uniform_clip_indices_golden_vs_reference():
+    """Exact vs the reference ``get_start_end_idx``
+    (``audio_loader_epic.py:6-34``) executed in-process (librosa stubbed
+    out — only the sampling math is under test)."""
+    import importlib.util
+    import sys
+    import types
+
+    import pytest
+    pytest.importorskip("torch")
+    fake = types.ModuleType("librosa")
+    fake.stft = None
+    fake.filters = types.SimpleNamespace(mel=None)
+    sys.modules.setdefault("librosa", fake)
+    spec = importlib.util.spec_from_file_location(
+        "ref_audio_loader",
+        "/root/reference/feature_extractors/auditory_slowfast/slowfast/"
+        "datasets/audio_loader_epic.py")
+    ref = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref)
+
+    for num_samples, clip, idx, n_clips, start in [
+            (1000, 200, 0, 5, 0), (1000, 200, 4, 5, 0),
+            (1000, 200, 2, 5, 37), (1000, 200, 0, 1, 0),
+            (150, 200, 3, 5, 10), (999, 251, 1, 4, 0)]:
+        want_s, want_e = ref.get_start_end_idx(num_samples, clip, idx,
+                                               n_clips, start)
+        got_s, got_e = A.uniform_clip_indices(num_samples, clip, idx,
+                                              n_clips, start)
+        assert (got_s, got_e) == (int(want_s), int(want_e)), (
+            num_samples, clip, idx, n_clips, start)
+
+    # training path: random start within [0, delta]
+    s, e = A.uniform_clip_indices(1000, 200, -1, 5,
+                                  rng=np.random.default_rng(0))
+    assert 0 <= s <= 800 and e == s + 199
+
+
+def test_omnivore_frame_indices_matches_reference_formula():
+    """Oracle transcription of the reference 'like omnivore' sampler
+    (``frame_loader.py:52-60``; the function itself does file I/O so it
+    cannot run in-process) evaluated in torch, incl. the 1-based clamp."""
+    import pytest
+    torch = pytest.importorskip("torch")
+
+    from tim_tpu.extract.pipeline import omnivore_frame_indices
+
+    num_samples = 32
+    for start, stop, total in [(100, 155, 10000), (1, 34, 500),
+                               (9990, 10045, 10000), (7, 12, 40)]:
+        num_frames = stop - start
+        seg_size = float(num_frames - 1) / num_samples
+        seq = []
+        for i in range(num_samples):
+            a = int(np.round(seg_size * i))
+            b = int(np.round(seg_size * (i + 1)))
+            seq.append((a + b) // 2)
+        want = torch.clamp(torch.tensor(start + np.array(seq)), 1,
+                           total).numpy()
+        got = omnivore_frame_indices(num_frames, start, total, num_samples)
+        np.testing.assert_array_equal(got, want)
 
 
 def test_feature_time_table_matches_reference_scheme():

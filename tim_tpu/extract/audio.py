@@ -124,13 +124,20 @@ def uniform_clip_indices(
     clip_index: int,
     num_clips: int,
     start_sample: int = 0,
+    rng=None,
 ) -> Tuple[int, int]:
-    """Uniformly spaced clip start/end sample indices over a recording —
-    the deterministic test-time sampling of the reference's
-    ``get_start_end_idx`` (temporal_sample_index >= 0 path)."""
+    """Exact ``get_start_end_idx`` semantics
+    (``audio_loader_epic.py:6-34``): clip_index >= 0 picks
+    ``linspace(0, delta, num_clips)[clip_index]`` (note num_clips == 1
+    lands at 0, not the center); clip_index == -1 draws a random start in
+    [0, delta] (training). The returned slice bounds reproduce the
+    reference's ``samples[int(start):int(start + clip_size - 1)]`` —
+    clip_size - 1 samples, truncated ints."""
     delta = max(num_samples - clip_samples, 0)
-    if num_clips > 1:
-        start = int(delta * clip_index / (num_clips - 1))
+    if clip_index == -1:
+        rng = rng if rng is not None else np.random.default_rng()
+        start = rng.uniform(0, delta)
     else:
-        start = int(delta / 2)
-    return start_sample + start, start_sample + start + clip_samples
+        start = np.linspace(0, delta, num=num_clips)[clip_index]
+    end = start + clip_samples - 1
+    return start_sample + int(start), start_sample + int(end)

@@ -116,8 +116,8 @@ def extract_visual(args, table, video_ids):
 
     from tim_tpu.extract.augment import RandAugment
     from tim_tpu.extract.pipeline import (
-        extract_features_for_video, preprocess_video_clip,
-        sample_clip_frames, save_feature_bank)
+        extract_features_for_video, omnivore_frame_indices,
+        preprocess_video_clip, save_feature_bank)
 
     apply_fn = _make_visual_apply(args)
     magnitude = 15 if args.backbone == "omnivore" else 7
@@ -134,11 +134,14 @@ def extract_visual(args, table, video_ids):
 
         def clip_fn(t, a):
             row = rows.iloc[t]
-            idx = sample_clip_frames(
-                len(frame_files), int(row["start_frame"]),
-                int(row["stop_frame"]), args.num_frames, args.frame_stride)
+            # 'like omnivore' segment-center sampling; indices are 1-based
+            # frame numbers (reference jpg naming)
+            idx = omnivore_frame_indices(
+                int(row["stop_frame"]) - int(row["start_frame"]),
+                int(row["start_frame"]), len(frame_files),
+                args.num_frames)
             frames = np.stack([
-                np.asarray(Image.open(frame_files[i]).convert("RGB"))
+                np.asarray(Image.open(frame_files[i - 1]).convert("RGB"))
                 for i in idx])
             if a > 0:
                 frames = ra(frames)
@@ -154,7 +157,8 @@ def extract_visual(args, table, video_ids):
 
 
 def extract_audio(args, table, video_ids):
-    from tim_tpu.extract.audio import extract_clip_spectrogram
+    from tim_tpu.extract.audio import (
+        extract_clip_spectrogram, uniform_clip_indices)
     from tim_tpu.extract.augment import spec_augment
     from tim_tpu.extract.pipeline import (
         extract_features_for_video, save_feature_bank)
@@ -183,8 +187,17 @@ def extract_audio(args, table, video_ids):
 
         def clip_fn(t, a):
             row = rows.iloc[t]
-            start = int(round(row["start_sec"] * sr))
-            end = start + int(round(0.999 * sr))
+            rec_start = int(round(row["start_sec"] * sr))
+            rec_stop = int(round(float(
+                row["stop_sec"] if "stop_sec" in row
+                else row["start_sec"] + 1.1) * sr))
+            clip_size = int(round(0.999 * sr))
+            # aug set a = the a-th uniform temporal crop of the record
+            # (``epicsounds.py:76-88`` temporal_sample_index), SpecAugment
+            # on every set but the clean first one
+            start, end = uniform_clip_indices(
+                rec_stop - rec_start, clip_size, a, args.num_aug,
+                start_sample=rec_start)
             spec = extract_clip_spectrogram(
                 samples, start, min(end, len(samples)), sampling_rate=sr)
             if a > 0:

@@ -142,11 +142,32 @@ def sample_clip_frames(
     num_samples: int = 32,
     stride: int = 2,
 ) -> np.ndarray:
-    """Frame indices for one feature interval: ``num_samples`` frames at
-    ``stride`` centered on the interval, clipped to the video (the
-    reference's pack_frames_to_video_clip sampling)."""
+    """Frame indices at fixed ``stride`` centered on the interval (a
+    simple alternative sampler; the reference extraction uses
+    ``omnivore_frame_indices`` below)."""
     span = num_samples * stride
     center = (start_frame + stop_frame) // 2
     start = center - span // 2
     idx = start + stride * np.arange(num_samples)
     return np.clip(idx, 0, num_frames_available - 1)
+
+
+def omnivore_frame_indices(
+    record_num_frames: int,
+    start_frame: int,
+    num_frames_video: int,
+    num_samples: int = 32,
+) -> np.ndarray:
+    """The reference's 'like omnivore' sampling
+    (``omnivore/omnivore/datasets/frame_loader.py:52-60``): split the
+    record's [start, end) frame span into ``num_samples`` segments and
+    take each segment's center. Returns 1-BASED frame numbers clamped to
+    [1, num_frames_video] (the reference's jpg naming is 1-based)."""
+    seg_size = float(record_num_frames - 1) / num_samples
+    seq = []
+    for i in range(num_samples):
+        start = int(np.round(seg_size * i))
+        end = int(np.round(seg_size * (i + 1)))
+        seq.append((start + end) // 2)
+    idx = start_frame + np.asarray(seq)
+    return np.clip(idx, 1, num_frames_video)
