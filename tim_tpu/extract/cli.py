@@ -114,15 +114,25 @@ def _make_audio_apply(args):
 def extract_visual(args, table, video_ids):
     from PIL import Image
 
-    from tim_tpu.extract.augment import RandAugment
+    from tim_tpu.extract.autoaug import (
+        VideoRandAugment, omnivore_clip_augment)
     from tim_tpu.extract.pipeline import (
         extract_features_for_video, omnivore_frame_indices,
         preprocess_video_clip, save_feature_bank)
 
     apply_fn = _make_visual_apply(args)
-    magnitude = 15 if args.backbone == "omnivore" else 7
-    num_ops = 2 if args.backbone == "omnivore" else 4
-    ra = RandAugment(magnitude=magnitude, num_ops=num_ops)
+    if args.backbone == "omnivore":
+        # epickitchens.py:107-123: fresh rand-m15-mstd0.5-inc1 transform
+        # per frame, one clip seed; fill = DATA.MEAN (0.45,)*3 -> 115
+        def ra(frames):
+            return omnivore_clip_augment(
+                frames, crop_size=args.crop_size, mean=(0.45, 0.45, 0.45))
+    else:
+        # feature_extraction.py:104-112: one timm transform per clip
+        # over the frame list, bicubic
+        ra = VideoRandAugment("rand-m7-n4-mstd0.5-inc1",
+                              crop_size=args.crop_size,
+                              interpolation="bicubic")
 
     for vid in video_ids:
         frame_files = sorted(glob.glob(

@@ -22,7 +22,7 @@ from typing import Callable, Dict, Optional, Tuple
 
 import numpy as np
 
-from tim_tpu.extract.augment import RandAugment, random_erasing
+from tim_tpu.extract.augment import random_erasing
 
 IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
@@ -171,7 +171,7 @@ class EK100ClipDataset:
         num_sample: int = 2,
         test_num_segment: int = 10,
         test_num_crop: int = 3,
-        rand_augment: Optional[RandAugment] = None,
+        rand_augment: Optional[Callable] = None,
         reprob: float = 0.25,
         rng: Optional[np.random.Generator] = None,
     ):
@@ -188,8 +188,13 @@ class EK100ClipDataset:
         self.read = frame_reader
         # finetune recipe: rand-m7-n4-mstd0.5-inc1 (run_class_finetuning
         # ``--aa`` default)
-        self.rand_augment = rand_augment or RandAugment(
-            magnitude=7, num_ops=4, mstd=0.5)
+        # exact timm engine (golden vs VideoMAE/rand_augment.py)
+        if rand_augment is None:
+            from tim_tpu.extract.autoaug import VideoRandAugment
+            rand_augment = VideoRandAugment(
+                "rand-m7-n4-mstd0.5-inc1", crop_size=crop_size,
+                interpolation="bicubic")
+        self.rand_augment = rand_augment
 
         self.video_ids = annotations["video_id"].tolist()
         self.frame_offsets = annotations["start_frame"].astype(int).tolist()
