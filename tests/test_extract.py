@@ -162,9 +162,42 @@ def test_preprocess_video_clip():
     clip = P.preprocess_video_clip(frames, size=96)
     assert clip.shape == (3, 96, 96, 3)
     assert np.isfinite(clip).all()
-    # BGR flip: channel order reversed vs rgb version
-    rgb = P.preprocess_video_clip(frames, size=96, bgr=False)
-    np.testing.assert_allclose(clip[..., 0], rgb[..., 2], atol=1e-6)
+
+
+def test_omnivore_test_transform_golden():
+    """Exact parity with the reference pixel block (epickitchens.py:
+    126-155 + transform.uniform_crop) executed in-process on torch."""
+    import importlib.util
+
+    import torch
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_omni_transform",
+        "/root/reference/feature_extractors/omnivore/omnivore/"
+        "datasets/transform.py")
+    ref_tf = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_tf)
+    import cv2
+
+    mean, std = [0.485, 0.456, 0.406], [0.229, 0.224, 0.225]
+    rng = np.random.default_rng(1)
+    for h, w, size in [(120, 160, 96), (121, 161, 96), (256, 456, 224)]:
+        bgr = rng.integers(0, 255, (3, h, w, 3)).astype(np.uint8)
+        # ---- reference block, verbatim semantics ----
+        t_frames = torch.from_numpy(bgr)
+        scale = size / t_frames.shape[1]
+        resized = [cv2.resize(f.numpy(), (0, 0), fx=scale, fy=scale)
+                   for f in t_frames]
+        arr = np.concatenate([np.expand_dims(f, 0) for f in resized], 0)
+        t = torch.from_numpy(np.ascontiguousarray(arr))
+        t = torch.flip(t, dims=[3]).float() / 255.0
+        t = (t - torch.tensor(mean)) / torch.tensor(std)
+        t = t.permute(3, 0, 1, 2)
+        ref, _ = ref_tf.uniform_crop(t, size, spatial_idx=1)
+        ref = ref.permute(1, 2, 3, 0).numpy()          # back to T H W C
+        # ---- ours ----
+        mine = P.omnivore_test_transform(bgr, size=size, input_bgr=True)
+        np.testing.assert_allclose(ref, mine, atol=1e-6)
 
 
 def test_spec_augment_preserves_shape_and_mean_fill():

@@ -118,7 +118,8 @@ def extract_visual(args, table, video_ids):
         VideoRandAugment, omnivore_clip_augment)
     from tim_tpu.extract.pipeline import (
         extract_features_for_video, omnivore_frame_indices,
-        preprocess_video_clip, save_feature_bank)
+        omnivore_test_transform, preprocess_video_clip,
+        save_feature_bank)
 
     apply_fn = _make_visual_apply(args)
     if args.backbone == "omnivore":
@@ -153,11 +154,18 @@ def extract_visual(args, table, video_ids):
             frames = np.stack([
                 np.asarray(Image.open(frame_files[i - 1]).convert("RGB"))
                 for i in idx])
+            if args.backbone == "omnivore":
+                # the reference loads frames with cv2 (BGR) and runs
+                # BOTH RandAugment and the pixel block on that order,
+                # flipping to RGB mid-transform — emulate it exactly
+                frames = frames[..., ::-1]
+                if a > 0:
+                    frames = ra(frames)
+                return omnivore_test_transform(
+                    frames, size=args.crop_size, input_bgr=True)
             if a > 0:
                 frames = ra(frames)
-            return preprocess_video_clip(
-                frames, size=args.crop_size,
-                bgr=(args.backbone == "omnivore"))
+            return preprocess_video_clip(frames, size=args.crop_size)
 
         bank = extract_features_for_video(
             clip_fn, len(rows), args.num_aug, apply_fn,

@@ -110,12 +110,11 @@ def preprocess_video_clip(
     frames: np.ndarray,
     *,
     size: int = 224,
-    bgr: bool = True,
 ) -> np.ndarray:
-    """uint8 frames [T, H, W, 3] -> normalized float clip [T, size, size, 3]
-    (short-side resize + center crop + imagenet normalize + BGR flip, the
-    reference's omnivore eval transform,
-    ``omnivore/omnivore/datasets/epickitchens.py:126-148``)."""
+    """uint8 RGB frames [T, H, W, 3] -> normalized float clip
+    [T, size, size, 3]: short-side resize + center crop + ImageNet
+    normalize (the VideoMAE extractor's eval transform,
+    ``VideoMAE/feature_extraction.py:88-96``)."""
     from PIL import Image
 
     t, h, w, _ = frames.shape
@@ -129,10 +128,40 @@ def preprocess_video_clip(
         arr = np.asarray(img, np.float32)[top:top + size,
                                           left:left + size] / 255.0
         out[i] = arr
+    return (out - OMNIVORE_MEAN) / OMNIVORE_STD
+
+
+def omnivore_test_transform(
+    frames: np.ndarray,
+    *,
+    size: int = 224,
+    input_bgr: bool = True,
+) -> np.ndarray:
+    """Exact port of the omnivore test-mode pixel block
+    (``epickitchens.py:126-155``, identical in perception.py / ave.py):
+    HEIGHT-based cv2 scaling (``scale = crop/frames.shape[1]``), channel
+    flip (the reference's cv2 frame loader yields BGR — pass frames in
+    BGR with ``input_bgr=True`` to match it bit-for-bit), /255, ImageNet
+    normalize, then center ``uniform_crop`` with CEIL offsets
+    (``transform.py:141-180``, spatial_idx=1, NUM_SPATIAL_CROPS=1).
+
+    uint8 [T, H, W, 3] -> float32 [T, size, size, 3] (channels-last; the
+    reference permutes to C T H W for torch, our backbones take
+    channels-last)."""
+    import cv2
+
+    scale = size / frames.shape[1]
+    resized = np.stack([
+        cv2.resize(f, (0, 0), fx=scale, fy=scale) for f in frames])
+    if input_bgr:
+        resized = resized[..., ::-1]
+    out = resized.astype(np.float32) / 255.0
     out = (out - OMNIVORE_MEAN) / OMNIVORE_STD
-    if bgr:
-        out = out[..., ::-1]
-    return out
+    h, w = out.shape[1:3]
+    top = int(np.ceil((h - size) / 2))
+    left = int(np.ceil((w - size) / 2))
+    return np.ascontiguousarray(
+        out[:, top:top + size, left:left + size])
 
 
 def sample_clip_frames(
