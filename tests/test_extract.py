@@ -242,3 +242,19 @@ def test_rand_augment_runs_all_ops():
     for name in aug.RAND_AUGMENT_OPS:
         res = aug._apply_op(img, name, 7.0)
         assert np.asarray(res).shape == (64, 64, 3)
+
+
+def test_record_clip_bounds_short_record_rule():
+    """Short records never read past their end (audio_loader_epic.py:
+    74-83); long records follow get_start_end_idx exactly."""
+    # short: record of 1000 samples, clip of 23976 -> the record itself
+    assert A.record_clip_bounds(500, 1500, 23976, 0, 3) == (500, 1500)
+    assert A.record_clip_bounds(500, 1500, 23976, 2, 3) == (500, 1500)
+    # long: uniform crops across the record, clip_size - 1 span
+    s0, e0 = A.record_clip_bounds(0, 50000, 23976, 0, 3)
+    s2, e2 = A.record_clip_bounds(0, 50000, 23976, 2, 3)
+    assert (s0, e0) == (0, 23975)
+    assert (s2, e2) == (50000 - 23976, 50000 - 1)
+    # exact boundary: record == clip size is NOT short
+    sb, eb = A.record_clip_bounds(100, 100 + 23976, 23976, 1, 3)
+    assert (sb, eb) == (100, 100 + 23975)

@@ -141,3 +141,24 @@ def uniform_clip_indices(
         start = np.linspace(0, delta, num=num_clips)[clip_index]
     end = start + clip_samples - 1
     return start_sample + int(start), start_sample + int(end)
+
+
+def record_clip_bounds(
+    rec_start: int,
+    rec_stop: int,
+    clip_samples: int,
+    clip_index: int,
+    num_clips: int,
+    rng=None,
+) -> Tuple[int, int]:
+    """Sample bounds for one (record, clip_index) pair, including the
+    short-record rule of ``_extract_sound_feature``
+    (``audio_loader_epic.py:74-83``, identical in
+    ``audio_loader_aveperception.py:98-113``): a record shorter than the
+    clip yields the record itself — never audio past its end — and the
+    spectrogram is edge-padded downstream."""
+    if rec_stop - rec_start < clip_samples:
+        return rec_start, rec_stop
+    return uniform_clip_indices(
+        rec_stop - rec_start, clip_samples, clip_index, num_clips,
+        start_sample=rec_start, rng=rng)

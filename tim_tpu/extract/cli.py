@@ -176,7 +176,7 @@ def extract_visual(args, table, video_ids):
 
 def extract_audio(args, table, video_ids):
     from tim_tpu.extract.audio import (
-        extract_clip_spectrogram, uniform_clip_indices)
+        extract_clip_spectrogram, record_clip_bounds)
     from tim_tpu.extract.augment import spec_augment
     from tim_tpu.extract.pipeline import (
         extract_features_for_video, save_feature_bank)
@@ -213,9 +213,8 @@ def extract_audio(args, table, video_ids):
             # aug set a = the a-th uniform temporal crop of the record
             # (``epicsounds.py:76-88`` temporal_sample_index), SpecAugment
             # on every set but the clean first one
-            start, end = uniform_clip_indices(
-                rec_stop - rec_start, clip_size, a, args.num_aug,
-                start_sample=rec_start)
+            start, end = record_clip_bounds(
+                rec_start, rec_stop, clip_size, a, args.num_aug)
             spec = extract_clip_spectrogram(
                 samples, start, min(end, len(samples)), sampling_rate=sr)
             if a > 0:
