@@ -270,3 +270,80 @@ def test_threshold_predictions_drops_empty_and_expands_multilabel():
     assert len(out["a"]["labels"]) == 2      # zero-length row dropped
     assert set(out["a"]["labels"].tolist()) == {0, 1}
     assert len(out["b"]["labels"]) == 1
+
+
+def test_file_level_chain_through_reference_main(tmp_path, capsys):
+    """Full file-level interop: a dense dump evaluated by our CLI
+    (python -m tim_tpu.evals) writes the official triplet challenge
+    JSON, and the reference evaluate_detection_json_ek100.py main() —
+    executed in-process on the files — produces identical mAP for all
+    three tasks. (The reference's own formatter writes single-task int
+    entries its evaluator cannot parse; the triplet format is the
+    challenge contract.)"""
+    import argparse
+    import json
+
+    pd = pytest.importorskip("pandas")
+    ref = _load_ref("/root/reference/detection/eval_detection/"
+                    "evaluate_detection_json_ek100.py", "ref_eval_main")
+    from tim_tpu.evals.__main__ import main as evals_main
+
+    rng = np.random.default_rng(21)
+    n_verbs, n_nouns = 4, 5
+    n_gt, n_prop = 30, 150
+
+    def fmt(sec):
+        h = int(sec // 3600); m = int((sec % 3600) // 60); s = sec % 60
+        return f"{h:02d}:{m:02d}:{s:09.6f}"
+
+    gstarts = rng.uniform(0, 60, n_gt)
+    ann = pd.DataFrame({
+        "video_id": [f"P{i % 3}" for i in range(n_gt)],
+        "start_timestamp": [fmt(s) for s in gstarts],
+        "stop_timestamp": [fmt(s + rng.uniform(1, 5)) for s in gstarts],
+        "verb_class": rng.integers(0, n_verbs, n_gt),
+        "noun_class": rng.integers(0, n_nouns, n_gt),
+    }, index=pd.Index([f"n{i}" for i in range(n_gt)],
+                      name="narration_id"))
+    gt_pkl = tmp_path / "gt.pkl"
+    ann.to_pickle(gt_pkl)
+
+    starts = rng.uniform(0, 60, n_prop)
+    dump = tmp_path / "dense_predictions.npz"
+    np.savez(dump,
+             video_ids=np.asarray([f"P{i % 3}" for i in range(n_prop)],
+                                  object),
+             v_proposals=np.stack(
+                 [starts, starts + rng.uniform(0.5, 6, n_prop)], -1),
+             action=rng.uniform(0, 0.6, (n_prop, n_verbs * n_nouns)))
+
+    challenge_json = tmp_path / "challenge.json"
+    result = evals_main([
+        "--dump", str(dump), "--gt", str(gt_pkl), "--task", "action",
+        "--noun_count", str(n_nouns),
+        "--challenge_json", str(challenge_json),
+    ])
+    capsys.readouterr()
+    assert challenge_json.exists()
+
+    # reference main() on the files, metrics captured via print_metrics
+    captured = {}
+    ref.print_metrics = captured.update
+    ref.main(argparse.Namespace(
+        path_to_json=str(challenge_json), path_to_annotations=gt_pkl,
+        task="all", noun_count=n_nouns, verb_count=n_verbs))
+    capsys.readouterr()
+
+    # our action-task CLI avg must equal the reference main()'s
+    assert result["avg_mAP"] * 100 == pytest.approx(
+        captured["action_map_avg"], abs=1e-9)
+    # and verb/noun evaluated from the same files match evaluate_ek100
+    from tim_tpu.evals.ek100 import evaluate_ek100
+    with open(challenge_json) as f:
+        submission = json.load(f)
+    for task in ("verb", "noun", "action"):
+        _, avg = evaluate_ek100(ann, submission, task, num_nouns=n_nouns)
+        assert avg * 100 == pytest.approx(
+            captured[f"{task}_map_avg"], abs=1e-9), task
+    for sls in ("sls_pt", "sls_tl", "sls_td"):
+        assert sls in captured

@@ -53,6 +53,13 @@ def build_parser():
     p.add_argument("--n_jobs", type=int, default=1)
     p.add_argument("--submission", default="",
                    help="write the challenge submission JSON here")
+    p.add_argument("--challenge_json", default="",
+                   help="also write the official triplet-format JSON "
+                        "(verb/noun/'v,n' action) that the reference "
+                        "evaluate_detection_json_ek100.py consumes — "
+                        "action task only")
+    p.add_argument("--noun_count", type=int, default=300,
+                   help="nouns per verb for action-id decoding")
     p.add_argument("--label_column", default="class_id",
                    help="GT label column for non-EPIC datasets")
     return p
@@ -104,7 +111,8 @@ def main(argv=None):
 
     annotations = pd.read_pickle(args.gt)
     if args.dataset == "epic" and "verb_class" in annotations.columns:
-        gt_cols = gt_columns_from_annotations(annotations, task=args.task)
+        gt_cols = gt_columns_from_annotations(
+            annotations, task=args.task, num_nouns=args.noun_count)
     else:
         gt_cols = _generic_gt_columns(annotations, args.label_column)
 
@@ -116,7 +124,10 @@ def main(argv=None):
         iou_threshold=args.iou_threshold, tiou_thresholds=args.tiou,
         n_jobs=args.n_jobs,
         submission_path=args.submission or None,
-        task=args.task, challenge=challenge)
+        task=args.task, challenge=challenge,
+        challenge_json_path=(args.challenge_json or None)
+        if args.task == "action" else None,
+        num_nouns=args.noun_count)
     validate_submission(submission, task=args.task,
                         num_classes=int(scores.shape[-1]))
 

@@ -108,6 +108,44 @@ def build_submission(
     }
 
 
+def build_challenge_submission(
+    detections: Dict[str, Dict[str, np.ndarray]],
+    num_nouns: int = 300,
+    challenge: str = "action_detection",
+) -> Dict:
+    """Challenge-format JSON with the (verb, noun, action) triplet per
+    entry that ``evaluate_detection_json_ek100.py:45-68``
+    (load_predicted_segmentations) requires: int verb/noun fields plus
+    the action as a ``"v,n"`` string. Detection labels are EPIC action
+    class ids (``a = verb * num_nouns + noun``).
+
+    Note: the reference's own formatter
+    (``format_predictions_epic.py:134-139``) writes only a single
+    ``{task: int}`` key, which its evaluator cannot load (``.split`` on
+    an int) — the triplet format here is what the evaluator and the
+    official challenge actually consume."""
+    results = {}
+    for vid, det in detections.items():
+        entries = []
+        for seg, score, label in zip(det["segments"], det["scores"],
+                                     det["labels"]):
+            verb, noun = int(label) // num_nouns, int(label) % num_nouns
+            entries.append({
+                "verb": verb,
+                "noun": noun,
+                "action": f"{verb},{noun}",
+                "score": float(score),
+                "segment": [float(seg[0]), float(seg[1])],
+            })
+        results[vid] = entries
+    return {
+        "version": "0.2",
+        "challenge": challenge,
+        "sls_pt": 2, "sls_tl": 3, "sls_td": 4,
+        "results": results,
+    }
+
+
 def submission_to_columns(submission: Dict, task: str = "action") -> Dict:
     vids, starts, ends, labels, scores = [], [], [], [], []
     for vid, entries in submission["results"].items():
@@ -259,9 +297,14 @@ def evaluate_detections(
     submission_path: Optional[str] = None,
     task: str = "action",
     challenge: str = "action_detection",
+    challenge_json_path: Optional[str] = None,
+    num_nouns: int = 300,
 ):
     """Full pipeline: dense dump -> mAP. Returns (mAP per tIoU, avg mAP,
-    submission dict)."""
+    submission dict). ``challenge_json_path`` additionally writes the
+    official challenge triplet format (action labels decoded to
+    verb/noun via ``num_nouns``) consumable by the reference
+    ``evaluate_detection_json_ek100.py`` main()."""
     cands = threshold_predictions(video_ids, proposals, scores,
                                   score_threshold)
     dets = nms_per_video(cands, iou_threshold=iou_threshold, sigma=sigma,
@@ -270,6 +313,11 @@ def evaluate_detections(
     if submission_path:
         with open(submission_path, "w") as f:
             json.dump(submission, f, indent=4, separators=(",", ": "))
+    if challenge_json_path:
+        with open(challenge_json_path, "w") as f:
+            json.dump(build_challenge_submission(
+                dets, num_nouns=num_nouns, challenge=challenge), f,
+                indent=4, separators=(",", ": "))
     evaluator = DetectionEvaluator(
         gt_columns, submission_to_columns(submission, task=task),
         tiou_thresholds=tiou_thresholds, n_jobs=n_jobs)
