@@ -1,7 +1,12 @@
 """Training-step throughput (not run by the driver; bench.py stays the
 single-line inference benchmark). Chained-in-jit timing like bench.py."""
 
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -14,6 +19,16 @@ from tim_tpu.train import detection as det_train
 from tim_tpu.train import recognition as rec_train
 from tim_tpu.train.optim import make_optimizer
 from tim_tpu.train.state import create_train_state
+
+
+def step_flops(step, state, batch, rng) -> float:
+    """XLA-counted FLOPs for ONE training step (same accounting as the
+    inference number in CLAUDE.md's perf log)."""
+    try:
+        compiled = jax.jit(step).lower(state, batch, rng).compile()
+        return float(compiled.cost_analysis()["flops"])
+    except Exception:
+        return float("nan")
 
 
 def chained_steps(step, state, batch, rng, iters):
@@ -60,9 +75,12 @@ def bench_recognition(batch_size=64, iters=10):
     tx = make_optimizer(tcfg.lr, tcfg.weight_decay, 10000, 100)
     state = create_train_state(variables["params"], tx)
     step = rec_train.make_train_step(model, cfg, tcfg, nv, na)
+    fl = step_flops(step, state, batch, key)
     dt = chained_steps(step, state, batch, key, iters)
-    print(f"recognition train: {batch_size * iters / dt:.0f} windows/s "
-          f"(batch {batch_size})")
+    wps = batch_size * iters / dt
+    print(f"recognition train: {wps:.0f} windows/s (batch {batch_size}); "
+          f"XLA {fl / batch_size / 1e9:.1f} GFLOP/window -> "
+          f"{wps * fl / batch_size / 1e12:.1f} TF/s achieved")
 
 
 def bench_detection(batch_size=32, iters=10):
@@ -98,14 +116,21 @@ def bench_detection(batch_size=32, iters=10):
     state = create_train_state(variables["params"], tx,
                                normaliser=tcfg.normaliser_init)
     step = det_train.make_train_step(model, cfg, tcfg)
+    fl = step_flops(step, state, batch, key)
     dt = chained_steps(step, state, batch, key, iters)
-    print(f"detection train: {batch_size * iters / dt:.0f} windows/s "
-          f"(batch {batch_size})")
+    wps = batch_size * iters / dt
+    print(f"detection train: {wps:.0f} windows/s (batch {batch_size}); "
+          f"XLA {fl / batch_size / 1e9:.1f} GFLOP/window -> "
+          f"{wps * fl / batch_size / 1e12:.1f} TF/s achieved")
 
 
 if __name__ == "__main__":
-    import sys
-    sizes = [int(a) for a in sys.argv[1:]]
-    bench_recognition()
+    args = sys.argv[1:]
+    det_only = args and args[0] == "det"
+    if det_only:
+        args = args[1:]
+    sizes = [int(a) for a in args]
+    if not det_only:
+        bench_recognition()
     for bs in sizes or [32]:
         bench_detection(batch_size=bs)

@@ -198,6 +198,13 @@ def test_omnivore_test_transform_golden():
         # ---- ours ----
         mine = P.omnivore_test_transform(bgr, size=size, input_bgr=True)
         np.testing.assert_allclose(ref, mine, atol=1e-6)
+        # the NUM_SPATIAL_CROPS=3 crops too (left/right or top/bottom)
+        for si in (0, 2):
+            ref_si, _ = ref_tf.uniform_crop(t, size, spatial_idx=si)
+            np.testing.assert_allclose(
+                ref_si.permute(1, 2, 3, 0).numpy(),
+                P.omnivore_test_transform(bgr, size=size, input_bgr=True,
+                                          spatial_idx=si), atol=1e-6)
 
 
 def test_spec_augment_preserves_shape_and_mean_fill():

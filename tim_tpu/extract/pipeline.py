@@ -136,20 +136,25 @@ def omnivore_test_transform(
     *,
     size: int = 224,
     input_bgr: bool = True,
+    spatial_idx: int = 1,
 ) -> np.ndarray:
     """Exact port of the omnivore test-mode pixel block
     (``epickitchens.py:126-155``, identical in perception.py / ave.py):
     HEIGHT-based cv2 scaling (``scale = crop/frames.shape[1]``), channel
     flip (the reference's cv2 frame loader yields BGR — pass frames in
     BGR with ``input_bgr=True`` to match it bit-for-bit), /255, ImageNet
-    normalize, then center ``uniform_crop`` with CEIL offsets
-    (``transform.py:141-180``, spatial_idx=1, NUM_SPATIAL_CROPS=1).
+    normalize, then ``uniform_crop`` with CEIL offsets
+    (``transform.py:141-180``). ``spatial_idx`` follows the reference:
+    1 = center (NUM_SPATIAL_CROPS=1, the feature configs), 0/2 = the
+    left/right crop on landscape frames or top/bottom on portrait
+    (NUM_SPATIAL_CROPS=3 path of ``epickitchens.py:89-95``).
 
     uint8 [T, H, W, 3] -> float32 [T, size, size, 3] (channels-last; the
     reference permutes to C T H W for torch, our backbones take
     channels-last)."""
     import cv2
 
+    assert spatial_idx in (0, 1, 2)
     scale = size / frames.shape[1]
     resized = np.stack([
         cv2.resize(f, (0, 0), fx=scale, fy=scale) for f in frames])
@@ -160,6 +165,10 @@ def omnivore_test_transform(
     h, w = out.shape[1:3]
     top = int(np.ceil((h - size) / 2))
     left = int(np.ceil((w - size) / 2))
+    if h > w:
+        top = {0: 0, 1: top, 2: h - size}[spatial_idx]
+    else:
+        left = {0: 0, 1: left, 2: w - size}[spatial_idx]
     return np.ascontiguousarray(
         out[:, top:top + size, left:left + size])
 
