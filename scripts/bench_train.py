@@ -21,17 +21,11 @@ from tim_tpu.train.optim import make_optimizer
 from tim_tpu.train.state import create_train_state
 
 
-def step_flops(step, state, batch, rng) -> float:
-    """XLA-counted FLOPs for ONE training step (same accounting as the
-    inference number in CLAUDE.md's perf log)."""
-    try:
-        compiled = jax.jit(step).lower(state, batch, rng).compile()
-        return float(compiled.cost_analysis()["flops"])
-    except Exception:
-        return float("nan")
-
-
 def chained_steps(step, state, batch, rng, iters):
+    """Returns (seconds for one chained call, XLA FLOPs per step).
+    FLOPs come from the same compile used for timing (remote TPU
+    compiles are minutes-slow; don't compile twice): the fori_loop body
+    runs ``iters`` times and the loop epilogue adds a negligible sum."""
     @jax.jit
     def run(state, batch):
         def body(i, carry):
@@ -43,10 +37,15 @@ def chained_steps(step, state, batch, rng, iters):
         # depend on the final state so nothing dead-codes
         return loss + jax.tree_util.tree_leaves(s.params)[0].sum().astype(
             jnp.float32) * 1e-9
-    float(run(state, batch))
+    compiled = run.lower(state, batch).compile()
+    try:
+        flops = float(compiled.cost_analysis()["flops"]) / iters
+    except Exception:
+        flops = float("nan")
+    float(compiled(state, batch))
     t0 = time.perf_counter()
-    out = float(run(state, batch))
-    return time.perf_counter() - t0
+    float(compiled(state, batch))
+    return time.perf_counter() - t0, flops
 
 
 def bench_recognition(batch_size=64, iters=10):
@@ -75,8 +74,7 @@ def bench_recognition(batch_size=64, iters=10):
     tx = make_optimizer(tcfg.lr, tcfg.weight_decay, 10000, 100)
     state = create_train_state(variables["params"], tx)
     step = rec_train.make_train_step(model, cfg, tcfg, nv, na)
-    fl = step_flops(step, state, batch, key)
-    dt = chained_steps(step, state, batch, key, iters)
+    dt, fl = chained_steps(step, state, batch, key, iters)
     wps = batch_size * iters / dt
     print(f"recognition train: {wps:.0f} windows/s (batch {batch_size}); "
           f"XLA {fl / batch_size / 1e9:.1f} GFLOP/window -> "
@@ -116,8 +114,7 @@ def bench_detection(batch_size=32, iters=10):
     state = create_train_state(variables["params"], tx,
                                normaliser=tcfg.normaliser_init)
     step = det_train.make_train_step(model, cfg, tcfg)
-    fl = step_flops(step, state, batch, key)
-    dt = chained_steps(step, state, batch, key, iters)
+    dt, fl = chained_steps(step, state, batch, key, iters)
     wps = batch_size * iters / dt
     print(f"detection train: {wps:.0f} windows/s (batch {batch_size}); "
           f"XLA {fl / batch_size / 1e9:.1f} GFLOP/window -> "

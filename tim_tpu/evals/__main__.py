@@ -118,6 +118,10 @@ def main(argv=None):
 
     challenge = ("audio_based_interaction_detection"
                  if args.task == "audio" else "action_detection")
+    if args.challenge_json and args.task != "action":
+        raise SystemExit(
+            "--challenge_json decodes ACTION class ids into verb/noun "
+            f"triplets; it cannot be produced from a {args.task!r} run")
     m_ap, avg, submission = evaluate_detections(
         video_ids, proposals, scores, gt_cols,
         score_threshold=args.score_threshold, sigma=args.sigma,
@@ -125,8 +129,7 @@ def main(argv=None):
         n_jobs=args.n_jobs,
         submission_path=args.submission or None,
         task=args.task, challenge=challenge,
-        challenge_json_path=(args.challenge_json or None)
-        if args.task == "action" else None,
+        challenge_json_path=args.challenge_json or None,
         num_nouns=args.noun_count)
     validate_submission(submission, task=args.task,
                         num_classes=int(scores.shape[-1]))

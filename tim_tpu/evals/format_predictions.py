@@ -82,30 +82,32 @@ def nms_per_video(
     return dict(results)
 
 
-def build_submission(
-    detections: Dict[str, Dict[str, np.ndarray]],
-    task: str = "action",
-    challenge: str = "action_detection",
-) -> Dict:
-    """EPIC challenge JSON structure
-    (``format_predictions_epic.py:164-195``)."""
+def _build_submission_dict(detections, label_fields, challenge: str) -> Dict:
+    """Shared challenge-JSON skeleton; ``label_fields(label)`` returns the
+    per-entry label dict (``format_predictions_epic.py:164-195``)."""
     results = {}
     for vid, det in detections.items():
-        entries = []
-        for seg, score, label in zip(det["segments"], det["scores"],
-                                     det["labels"]):
-            entries.append({
-                task: int(label),
-                "score": float(score),
-                "segment": [float(seg[0]), float(seg[1])],
-            })
-        results[vid] = entries
+        results[vid] = [
+            dict(label_fields(label), score=float(score),
+                 segment=[float(seg[0]), float(seg[1])])
+            for seg, score, label in zip(det["segments"], det["scores"],
+                                         det["labels"])]
     return {
         "version": "0.2",
         "challenge": challenge,
         "sls_pt": 2, "sls_tl": 3, "sls_td": 4,
         "results": results,
     }
+
+
+def build_submission(
+    detections: Dict[str, Dict[str, np.ndarray]],
+    task: str = "action",
+    challenge: str = "action_detection",
+) -> Dict:
+    """Single-task entries, like the reference formatter writes."""
+    return _build_submission_dict(
+        detections, lambda label: {task: int(label)}, challenge)
 
 
 def build_challenge_submission(
@@ -124,26 +126,12 @@ def build_challenge_submission(
     ``{task: int}`` key, which its evaluator cannot load (``.split`` on
     an int) — the triplet format here is what the evaluator and the
     official challenge actually consume."""
-    results = {}
-    for vid, det in detections.items():
-        entries = []
-        for seg, score, label in zip(det["segments"], det["scores"],
-                                     det["labels"]):
-            verb, noun = int(label) // num_nouns, int(label) % num_nouns
-            entries.append({
-                "verb": verb,
-                "noun": noun,
-                "action": f"{verb},{noun}",
-                "score": float(score),
-                "segment": [float(seg[0]), float(seg[1])],
-            })
-        results[vid] = entries
-    return {
-        "version": "0.2",
-        "challenge": challenge,
-        "sls_pt": 2, "sls_tl": 3, "sls_td": 4,
-        "results": results,
-    }
+
+    def triplet(label):
+        verb, noun = int(label) // num_nouns, int(label) % num_nouns
+        return {"verb": verb, "noun": noun, "action": f"{verb},{noun}"}
+
+    return _build_submission_dict(detections, triplet, challenge)
 
 
 def submission_to_columns(submission: Dict, task: str = "action") -> Dict:

@@ -124,10 +124,12 @@ def extract_visual(args, table, video_ids):
     apply_fn = _make_visual_apply(args)
     if args.backbone == "omnivore":
         # epickitchens.py:107-123: fresh rand-m15-mstd0.5-inc1 transform
-        # per frame, one clip seed; fill = DATA.MEAN (0.45,)*3 -> 115
+        # per frame, one clip seed; fill = DATA.MEAN, which every feature
+        # yaml overrides to ImageNet (0.485, 0.456, 0.406) -> (124,116,104)
         def ra(frames):
             return omnivore_clip_augment(
-                frames, crop_size=args.crop_size, mean=(0.45, 0.45, 0.45))
+                frames, crop_size=args.crop_size,
+                mean=(0.485, 0.456, 0.406))
     else:
         # feature_extraction.py:104-112: one timm transform per clip
         # over the frame list, bicubic
