@@ -220,3 +220,56 @@ def test_detection_bank_val_and_extract_match_host():
             continue
         np.testing.assert_allclose(db[k], dh[k], atol=1e-5,
                                    err_msg=f"dump key {k}")
+
+
+def test_recognition_bank_validate_and_extract_match_host():
+    """Bank-backed recognition validation stats and prediction extraction
+    must match the host-assembly paths exactly (single aug set)."""
+    from tim_tpu import config as C
+    from tim_tpu.runner import RecognitionRunner
+
+    b = synthetic.synthetic_epic(seed=9, num_videos=2, video_seconds=40.0,
+                                 per_video=6, visual_dim=16, audio_dim=12,
+                                 visual_classes=(5, 6, 4), audio_classes=3)
+    v1 = {k: v[:, :1] for k, v in b["v_feats"].items()}
+    a1 = {k: v[:, :1] for k, v in b["a_feats"].items()}
+    v_norm = normalize_actions(b["v_actions"], "visual")
+    a_norm = normalize_actions(b["a_actions"], "audio")
+    ws = build_recognition_windows(
+        v_norm, a_norm, b["video_info"], b["v_feat_times"],
+        num_feats=6, feat_stride=2, feat_gap=0.2)
+    v_store = FeatureStore(v1, b["v_feat_times"])
+    a_store = FeatureStore(a1, b["a_feat_times"])
+    ds = RecognitionDataset(ws, v_store, a_store,
+                            sample_augmentations=False)
+    cfg = C.ModelConfig(
+        visual_classes=(5, 6, 4), audio_classes=3,
+        visual_input_dim=16, audio_input_dim=12, d_model=16, nhead=2,
+        num_layers=1, num_feats=6, compute_dtype="float32")
+    tcfg = C.TrainConfig(batch_size=4, mixup_alpha=0.0, lambda_drloc=0.0)
+
+    host = RecognitionRunner(cfg, tcfg, ds, ds,
+                             mesh_cfg=C.MeshConfig(data=1))
+    host.init_state()
+    banked = RecognitionRunner(cfg, tcfg, ds, ds,
+                               mesh_cfg=C.MeshConfig(data=1),
+                               use_device_bank=True)
+    banked.init_state()
+    banked.state = banked.state.replace(params=host.state.params)
+
+    sv = host.validate()
+    sb = banked.validate()
+    assert set(sv) == set(sb)
+    for k in sv:
+        np.testing.assert_allclose(sb[k], sv[k], rtol=1e-5,
+                                   err_msg=f"val stat {k}")
+
+    ph = host.extract_predictions()
+    pb = banked.extract_predictions()
+    assert set(ph) == set(pb)
+    for k in ph:
+        if k.endswith("narration_ids"):
+            assert ph[k] == pb[k], k
+        else:
+            np.testing.assert_allclose(pb[k], ph[k], atol=1e-5,
+                                       err_msg=f"pred key {k}")

@@ -17,6 +17,13 @@ import numpy as np
 from tim_tpu.data.windows import Window, WindowSet
 
 
+def pad_rows(x, n, fill, dtype):
+    """Pad/truncate leading axis to ``n`` rows with ``fill``."""
+    padded = np.full((n, *x.shape[1:]), fill, dtype)
+    padded[:len(x)] = x
+    return padded
+
+
 class FeatureStore:
     """Per-video feature bank: video_id -> [T, A, D] (A = augmentation sets)
     plus feature-time table video_id -> [T, >=2].
@@ -109,10 +116,6 @@ class RecognitionDataset:
 
         nv, na = ws.max_visual_actions, ws.max_audio_actions
 
-        def pad_rows(x, n, fill, dtype):
-            padded = np.full((n, *x.shape[1:]), fill, dtype)
-            padded[:len(x)] = x
-            return padded
 
         v_q = pad_rows(win.v_queries, nv, 0.0, np.float32)
         a_q = pad_rows(win.a_queries, na, 0.0, np.float32)
@@ -193,10 +196,6 @@ class DetectionDataset:
 
         nv, na = max(ws.max_visual_actions, 1), max(ws.max_audio_actions, 1)
 
-        def pad_rows(x, n, fill, dtype):
-            padded = np.full((n, *x.shape[1:]), fill, dtype)
-            padded[:len(x)] = x
-            return padded
 
         v_seg = np.round(win.v_queries - win.start_sec, 3)
         a_seg = np.round(win.a_queries - win.start_sec, 3)

@@ -127,11 +127,12 @@ class DeviceWindowTables:
 
         self.feat_indices = jnp.asarray(feat_idx)
         self.times = jnp.asarray(times)
-        self.labels = {
-            "verb": jnp.asarray(verb), "noun": jnp.asarray(noun),
-            "action": jnp.asarray(action),
-            "class_id": jnp.asarray(class_id),
-        }
+        # host copies stay around for metering paths (vote accumulation
+        # happens host-side, indexed by window id)
+        self.labels_host = {"verb": verb, "noun": noun, "action": action,
+                            "class_id": class_id}
+        self.labels = {k: jnp.asarray(v)
+                       for k, v in self.labels_host.items()}
         self.num_windows = n
 
     def batch(self, window_ids: jnp.ndarray) -> dict:

@@ -109,6 +109,52 @@ class RecognitionRunner:
 
             self._bank_step = jax.jit(step_by_ids, donate_argnums=(0,))
 
+        # Device-bank validation/extraction: eval batches assemble in HBM
+        # too (detection got this first; same ~30x win on 1-core hosts)
+        self._bank_eval = None
+        if use_device_bank and val_ds is not None:
+            from tim_tpu.data.dataset import pad_rows
+            from tim_tpu.data.device_bank import (
+                DeviceFeatureBank, DeviceWindowTables, gather_window_batch)
+            ws_val = val_ds.windows
+            assert (ws_val.max_visual_actions, ws_val.max_audio_actions) \
+                == (self.nv, self.na), (
+                "bank validation needs the val split's query maxima to "
+                "match the eval step's static shapes")
+            vv_bank = (DeviceFeatureBank(val_ds.visual.feats)
+                       if val_ds.visual is not None else None)
+            va_bank = (DeviceFeatureBank(val_ds.audio.feats)
+                       if val_ds.audio is not None else None)
+            self._val_tables = DeviceWindowTables(
+                ws_val, vv_bank, va_bank,
+                val_ds.visual.feat_times
+                if val_ds.visual is not None else None,
+                val_ds.audio.feat_times
+                if val_ds.audio is not None else None)
+            vtables = self._val_tables
+            base_eval = self._eval_step
+
+            def eval_by_ids(params, window_ids):
+                batch = vtables.batch(window_ids)
+                v, a = gather_window_batch(
+                    vv_bank, va_bank, batch.pop("feat_indices"), rng=None)
+                if v is not None:
+                    batch["v_feats"] = v
+                if a is not None:
+                    batch["a_feats"] = a
+                return base_eval(params, batch)
+
+            self._bank_eval = jax.jit(eval_by_ids)
+            # vote metadata stays host-side, indexed by window id
+            self._val_v_ids = (np.stack([
+                pad_rows(w.v_action_ids, self.nv, -1, np.int64)
+                for w in ws_val.windows])
+                if val_ds.visual is not None else None)
+            self._val_a_ids = (np.stack([
+                pad_rows(w.a_action_ids, self.na, -1, np.int64)
+                for w in ws_val.windows])
+                if val_ds.audio is not None else None)
+
         self.state = None
         self.best = {"visual": 0.0, "visual_mt": 0.0, "audio": 0.0,
                      "combined": 0.0}
@@ -235,33 +281,62 @@ class RecognitionRunner:
         return stats
 
     # ------------------------------------------------------------------
-    def validate(self, epoch: int = 0) -> Dict[str, float]:
-        assert self.state is not None
-        acc = WindowVoteAccumulator(
-            self.val_ds.windows.num_actions, _head_spec(self.cfg))
-        avg = LossAverager()
-        self.val_ds.sample_augmentations = False
-        it = batch_iterator(self.val_ds, self._local_bs,
-                            shuffle=False, drop_last=False,
-                            **self._shard_args)
-        for batch in it:
+    def _eval_batches(self, ds):
+        """Yield (logits, losses, v_ids, a_ids, labels) per eval batch —
+        from the HBM-resident tables when the bank path covers ``ds``,
+        else through the host iterator. Rows are already truncated to the
+        non-padded prefix so padded duplicates never vote twice."""
+        if self._bank_eval is not None and ds is self.val_ds:
+            tbl = self._val_tables
+            bs = self._local_bs
+            for start in range(0, tbl.num_windows, bs):
+                ids = np.arange(start, min(start + bs, tbl.num_windows))
+                take = len(ids)
+                if take < bs:
+                    # fixed-shape last chunk, padded by repeating the
+                    # chunk's first window like batch_iterator does (the
+                    # pad rows enter the loss average on both paths)
+                    ids = np.concatenate(
+                        [ids, np.full(bs - take, ids[0])])
+                logits, losses = self._bank_eval(self.state.params,
+                                                 jnp.asarray(ids))
+                sel = ids[:take]
+                yield ({k: np.asarray(v)[:take] for k, v in logits.items()},
+                       losses,
+                       self._val_v_ids[sel]
+                       if self._val_v_ids is not None else None,
+                       self._val_a_ids[sel]
+                       if self._val_a_ids is not None else None,
+                       {k: v[sel] for k, v in tbl.labels_host.items()})
+            return
+        ds.sample_augmentations = False
+        for batch in batch_iterator(ds, self._local_bs, shuffle=False,
+                                    drop_last=False, **self._shard_args):
             pad = batch.pop("_pad", 0)
             take = self._local_bs - pad
             dev_batch = shard_batch(
                 {k: v for k, v in batch.items()
                  if k not in ("v_action_ids", "a_action_ids")}, self.mesh)
             logits, losses = self._eval_step(self.state.params, dev_batch)
-            # padded duplicate rows must not vote twice; each host votes
-            # with its own rows of the global batch
-            acc.update(
-                {k: host_local_rows(v)[:take] for k, v in logits.items()},
-                batch.get("v_action_ids", np.zeros((0, 0)))[:take]
-                if "v_action_ids" in batch else None,
-                batch.get("a_action_ids", np.zeros((0, 0)))[:take]
-                if "a_action_ids" in batch else None,
-                {k: batch[k][:take]
-                 for k in ("verb", "noun", "action", "class_id")
-                 if k in batch})
+            # each host votes with its own rows of the global batch
+            yield ({k: host_local_rows(v)[:take] for k, v in logits.items()},
+                   losses,
+                   batch["v_action_ids"][:take]
+                   if "v_action_ids" in batch else None,
+                   batch["a_action_ids"][:take]
+                   if "a_action_ids" in batch else None,
+                   {k: batch[k][:take]
+                    for k in ("verb", "noun", "action", "class_id")
+                    if k in batch})
+
+    def validate(self, epoch: int = 0) -> Dict[str, float]:
+        assert self.state is not None
+        acc = WindowVoteAccumulator(
+            self.val_ds.windows.num_actions, _head_spec(self.cfg))
+        avg = LossAverager()
+        for logits, losses, v_ids, a_ids, labels in \
+                self._eval_batches(self.val_ds):
+            acc.update(logits, v_ids, a_ids, labels)
             avg.update({k: float(v) for k, v in losses.items()})
 
         acc.reduce_across_processes()
@@ -324,25 +399,8 @@ class RecognitionRunner:
         ds = dataset or self.val_ds
         acc = WindowVoteAccumulator(
             ds.windows.num_actions, _head_spec(self.cfg))
-        ds.sample_augmentations = False
-        for batch in batch_iterator(ds, self._local_bs,
-                                    shuffle=False, drop_last=False,
-                                    **self._shard_args):
-            pad = batch.pop("_pad", 0)
-            take = self._local_bs - pad
-            dev_batch = shard_batch(
-                {k: v for k, v in batch.items()
-                 if k not in ("v_action_ids", "a_action_ids")}, self.mesh)
-            logits, _ = self._eval_step(self.state.params, dev_batch)
-            acc.update({k: host_local_rows(v)[:take]
-                        for k, v in logits.items()},
-                       batch.get("v_action_ids", np.zeros((0, 0)))[:take]
-                       if "v_action_ids" in batch else None,
-                       batch.get("a_action_ids", np.zeros((0, 0)))[:take]
-                       if "a_action_ids" in batch else None,
-                       {k: batch[k][:take] for k in
-                        ("verb", "noun", "action", "class_id")
-                        if k in batch})
+        for logits, _, v_ids, a_ids, labels in self._eval_batches(ds):
+            acc.update(logits, v_ids, a_ids, labels)
 
         acc.reduce_across_processes()
 
