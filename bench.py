@@ -133,13 +133,16 @@ def main():
             {"params": qparams}, [None])
         scfg = dataclasses.replace(
             qcfg, quant_static_acts=True,
-            quant_act_scales=quant.act_scales_tuple(calibrated))
+            quant_act_scales=quant.act_scales_tuple(calibrated),
+            fast_scores=True)
         sinfer = jax.jit(make_inference_step(TimDetection(scfg), scfg))
 
         q_elapsed = _chained(sinfer, qparams, example, iters)
         q_wps = batch * iters / q_elapsed
-        print(f"[bench] int8 static serving mode: {q_wps:.1f} windows/s "
+        print(f"[bench] int8 static + bf16-scores serving mode: "
+              f"{q_wps:.1f} windows/s "
               f"(accuracy bound: |dmAP|<=0.02, top-1 agreement >=98%, "
+              f"max dense-score delta <=0.1, "
               f"tests/test_quant_accuracy.py)", file=sys.stderr)
         headline = (
             "dense_detection_inference_windows_per_sec_per_chip_int8",

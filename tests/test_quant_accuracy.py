@@ -264,3 +264,55 @@ def test_recognition_int8_top1_agreement():
     rate = agree / total
     assert rate >= 0.98, f"top-1 agreement {rate:.4f}"
     assert max_prob_delta <= 0.15, f"softmax delta {max_prob_delta:.3f}"
+
+def test_detection_fast_scores_delta(det_bundle):
+    """fast_scores (bf16 attention scores/softmax) dense-score bound vs
+    the fp32-scores path, and combined with int8-static (the bench
+    headline config)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    b, cfg, runner = det_bundle
+    params = jax.device_get(runner.state.params)
+    f_server = DetectionServer(cfg, params, **_serve_kwargs())
+    fs_server = DetectionServer(
+        dataclasses.replace(cfg, fast_scores=True), params,
+        **_serve_kwargs())
+    qf_server = DetectionServer.quantized(
+        dataclasses.replace(cfg, fast_scores=True), params, [None],
+        **_serve_kwargs())
+
+    vid, dur = next(iter(b["durations"].items()))
+    starts = f_server._window_starts(dur)[:16]
+    pad = 16 - len(starts)
+    if pad:
+        starts = np.concatenate([starts, np.repeat(starts[-1:], pad)])
+    v, vt = f_server._assemble(b["v_feats"][vid][:, 0],
+                               b["v_feat_times"][vid], starts, dur)
+    a, at = f_server._assemble(b["a_feats"][vid][:, 0],
+                               b["v_feat_times"][vid], starts, dur)
+    batch = {"v_feats": jnp.asarray(v), "a_feats": jnp.asarray(a),
+             "times": jnp.asarray(np.concatenate([vt, at], axis=1)),
+             "window_start": jnp.asarray(starts, jnp.float32),
+             "window_size": jnp.full((16,), f_server.window_size,
+                                     jnp.float32)}
+    fo = f_server._infer(f_server.params, batch)
+    so = fs_server._infer(fs_server.params, batch)
+    qo = qf_server._infer(qf_server.params, batch)
+    # fast_scores alone: tighter than the int8 contract
+    ds = np.abs(np.asarray(fo["v_scores"], np.float32)
+                - np.asarray(so["v_scores"], np.float32))
+    dp = np.abs(np.asarray(fo["v_proposals"], np.float32)
+                - np.asarray(so["v_proposals"], np.float32))
+    assert ds.max() <= 0.05, f"fast_scores max score delta {ds.max():.4f}"
+    assert ds.mean() <= 0.005, f"mean {ds.mean():.5f}"
+    assert dp.max() <= 0.02 * f_server.window_size, f"{dp.max():.4f}"
+    # int8 + fast_scores (the serving headline): int8 contract holds
+    dq = np.abs(np.asarray(fo["v_scores"], np.float32)
+                - np.asarray(qo["v_scores"], np.float32))
+    dqp = np.abs(np.asarray(fo["v_proposals"], np.float32)
+                 - np.asarray(qo["v_proposals"], np.float32))
+    assert dq.max() <= 0.1, f"headline max score delta {dq.max():.4f}"
+    assert dq.mean() <= 0.01, f"mean {dq.mean():.5f}"
+    assert dqp.max() <= 0.05 * f_server.window_size, f"{dqp.max():.4f}"

@@ -71,6 +71,10 @@ class ModelConfig:
     # Calibrated (param_path, scale) pairs baked as compile-time constants
     # (``ops.quant.act_scales_tuple``); empty -> act_scale params are used.
     quant_act_scales: Tuple[Tuple[str, float], ...] = ()
+    # serving knob: bf16 attention scores/softmax (outputs still
+    # accumulate fp32) — measured +5% dense inference; accuracy bound in
+    # tests/test_quant_accuracy.py
+    fast_scores: bool = False
 
     @property
     def encoder_width(self) -> int:

@@ -78,6 +78,7 @@ class _TimBase(nn.Module):
             quant_static_acts=cfg.quant_static_acts,
             act_scales=filter_scales(cfg.quant_act_scales, "encoder"),
             fused_ffn=cfg.use_fused_ffn,
+            fast_scores=cfg.fast_scores,
             name="encoder",
         )
 

@@ -38,6 +38,7 @@ class SelfAttention(nn.Module):
     quantized: bool = False
     quant_static_acts: bool = False
     act_scales: tuple = ()
+    fast_scores: bool = False
 
     @nn.compact
     def __call__(self, x, num_ctx: int, *, deterministic: bool = True,
@@ -85,6 +86,7 @@ class SelfAttention(nn.Module):
             q, k, v, num_ctx,
             dropout_rate=self.dropout, dropout_rng=rng,
             deterministic=deterministic,
+            score_dtype=jnp.bfloat16 if self.fast_scores else None,
         )
         out = out.transpose(0, 2, 1, 3).reshape(b, s, self.d_model)
         return proj("out")(out)
@@ -105,6 +107,7 @@ class EncoderLayer(nn.Module):
     quant_static_acts: bool = False
     act_scales: tuple = ()
     fused_ffn: bool = False
+    fast_scores: bool = False
 
     @nn.compact
     def __call__(self, x, num_ctx: int, deterministic: bool = True,
@@ -112,7 +115,8 @@ class EncoderLayer(nn.Module):
         attn = SelfAttention(
             self.d_model, self.nhead, self.dropout, self.dtype,
             self.quantized, self.quant_static_acts,
-            filter_scales(self.act_scales, "self_attn"), name="self_attn",
+            filter_scales(self.act_scales, "self_attn"),
+            self.fast_scores, name="self_attn",
         )(x, num_ctx, deterministic=deterministic,
           shared_queries=shared_queries)
 
@@ -173,6 +177,7 @@ class Encoder(nn.Module):
     quant_static_acts: bool = False
     act_scales: tuple = ()
     fused_ffn: bool = False
+    fast_scores: bool = False
 
     @nn.compact
     def __call__(self, x, num_ctx: int, *, deterministic: bool = True,
@@ -187,6 +192,7 @@ class Encoder(nn.Module):
                 self.quant_static_acts,
                 filter_scales(self.act_scales, f"layer{i}"),
                 self.fused_ffn,
+                self.fast_scores,
                 name=f"layer{i}",
                 # only layer 0 sees batch-identical query tokens
             )(x, num_ctx, deterministic, shared_queries and i == 0)

@@ -33,6 +33,17 @@ import jax.numpy as jnp
 
 
 @functools.lru_cache(maxsize=1)
+def _score_dtype():
+    """Attention scores/softmax dtype. fp32 by default (the parity
+    policy); ``TIM_TPU_FAST_SCORES=1`` switches to bf16 — a serving knob
+    that halves the [B, H, Nq, F] score-tensor HBM traffic. The
+    attention *outputs* still accumulate in fp32 either way."""
+    if os.environ.get("TIM_TPU_FAST_SCORES"):
+        return jnp.bfloat16
+    return jnp.float32
+
+
+@functools.lru_cache(maxsize=1)
 def _pallas_enabled() -> bool:
     # Opt-in: at EPIC shapes XLA's batched einsum beats the hand kernel
     # (measured 902 vs 755 windows/s); the kernel may still win at much
@@ -73,6 +84,7 @@ def tim_attention(
     dropout_rate: float = 0.0,
     dropout_rng: Optional[jax.Array] = None,
     deterministic: bool = True,
+    score_dtype=None,
 ) -> jnp.ndarray:
     """Structured TIM attention.
 
@@ -80,9 +92,12 @@ def tim_attention(
       q, k, v: [B, H, S, Dh]; the first ``num_ctx`` positions are context
         tokens, the rest are query (CLS) tokens.
       num_ctx: static number of context tokens.
+      score_dtype: dtype for scores/softmax; None uses fp32 (parity
+        policy) unless the TIM_TPU_FAST_SCORES env knob is set.
 
     Returns: [B, H, S, Dh].
     """
+    sdt = score_dtype if score_dtype is not None else _score_dtype()
     orig_dtype = q.dtype
     s = q.shape[2]
     dh = q.shape[3]
@@ -99,7 +114,7 @@ def tim_attention(
 
     # --- context block: dense self-attention over context tokens ----------
     ctx_scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", qc, kc, preferred_element_type=jnp.float32
+        "bhqd,bhkd->bhqk", qc, kc, preferred_element_type=sdt
     )
     ctx_w = jax.nn.softmax(ctx_scores, axis=-1)
     ctx_w = _attn_dropout(rng_c, ctx_w, dropout_rate, deterministic)
@@ -120,10 +135,10 @@ def tim_attention(
 
     qq = qq * scale
     qry_scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", qq, kc, preferred_element_type=jnp.float32
+        "bhqd,bhkd->bhqk", qq, kc, preferred_element_type=sdt
     )                                                       # [B,H,Nq,F]
     self_scores = jnp.sum(
-        qq.astype(jnp.float32) * kq.astype(jnp.float32), axis=-1,
+        qq.astype(sdt) * kq.astype(sdt), axis=-1,
         keepdims=True,
     )                                                       # [B,H,Nq,1]
     # Joint softmax over [context ‖ self] computed without concatenating —
