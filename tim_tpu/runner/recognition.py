@@ -110,8 +110,11 @@ class RecognitionRunner:
             self._bank_step = jax.jit(step_by_ids, donate_argnums=(0,))
 
         # Device-bank validation/extraction: eval batches assemble in HBM
-        # too (detection got this first; same ~30x win on 1-core hosts)
-        self._bank_eval = None
+        # AND window votes accumulate on device (lax.scan over id chunks,
+        # scatter-add into [num_actions, C] tables) — one fetch at the
+        # end instead of downloading [B, Nq, C] logits per batch, which
+        # is what bounds the host loop through the relay.
+        self._bank_accum = None
         if use_device_bank and val_ds is not None:
             from tim_tpu.data.dataset import pad_rows
             from tim_tpu.data.device_bank import (
@@ -133,19 +136,7 @@ class RecognitionRunner:
                 if val_ds.audio is not None else None)
             vtables = self._val_tables
             base_eval = self._eval_step
-
-            def eval_by_ids(params, window_ids):
-                batch = vtables.batch(window_ids)
-                v, a = gather_window_batch(
-                    vv_bank, va_bank, batch.pop("feat_indices"), rng=None)
-                if v is not None:
-                    batch["v_feats"] = v
-                if a is not None:
-                    batch["a_feats"] = a
-                return base_eval(params, batch)
-
-            self._bank_eval = jax.jit(eval_by_ids)
-            # vote metadata stays host-side, indexed by window id
+            # vote metadata indexed by window id (host + device copies)
             self._val_v_ids = (np.stack([
                 pad_rows(w.v_action_ids, self.nv, -1, np.int64)
                 for w in ws_val.windows])
@@ -154,6 +145,75 @@ class RecognitionRunner:
                 pad_rows(w.a_action_ids, self.na, -1, np.int64)
                 for w in ws_val.windows])
                 if val_ds.audio is not None else None)
+            v_ids_dev = (jnp.asarray(self._val_v_ids, jnp.int32)
+                         if self._val_v_ids is not None else None)
+            a_ids_dev = (jnp.asarray(self._val_a_ids, jnp.int32)
+                         if self._val_a_ids is not None else None)
+            heads = _head_spec(cfg)
+            num_actions = ws_val.num_actions
+            # static loss keys of make_eval_step for this config
+            loss_keys = []
+            if "visual" in cfg.data_modality:
+                if cfg.include_verb_noun:
+                    loss_keys += ["loss_verb", "loss_noun"]
+                loss_keys += ["loss_action", "loss_visual"]
+            if "audio" in cfg.data_modality:
+                loss_keys.append("loss_audio")
+
+            def _safe_ids(ids_tab, row_valid, n_per):
+                flat_ids = ids_tab.reshape(-1)
+                ok = (flat_ids >= 0) & jnp.repeat(row_valid, n_per)
+                return jnp.where(ok, flat_ids, 0), ok
+
+            def accum_scan(params, ids_mat, valid_mat):
+                def body(carry, inp):
+                    sums, seen, loss_sum = carry
+                    ids, valid = inp
+                    batch = vtables.batch(ids)
+                    v, a = gather_window_batch(
+                        vv_bank, va_bank, batch.pop("feat_indices"),
+                        rng=None)
+                    if v is not None:
+                        batch["v_feats"] = v
+                    if a is not None:
+                        batch["a_feats"] = a
+                    logits, losses = base_eval(params, batch)
+                    if v_ids_dev is not None and self.nv > 0:
+                        safe, ok = _safe_ids(
+                            jnp.take(v_ids_dev, ids, axis=0), valid,
+                            self.nv)
+                        for h in ("verb", "noun", "action"):
+                            if h in sums and h in logits:
+                                flat = logits[h].reshape(
+                                    -1, logits[h].shape[-1]).astype(
+                                        jnp.float32)
+                                sums[h] = sums[h].at[safe].add(
+                                    jnp.where(ok[:, None], flat, 0.0))
+                        seen = seen.at[safe].add(ok.astype(jnp.float32))
+                    if (a_ids_dev is not None and "audio" in sums
+                            and self.na > 0):
+                        safe, ok = _safe_ids(
+                            jnp.take(a_ids_dev, ids, axis=0), valid,
+                            self.na)
+                        flat = logits["audio"].reshape(
+                            -1, logits["audio"].shape[-1]).astype(
+                                jnp.float32)
+                        sums["audio"] = sums["audio"].at[safe].add(
+                            jnp.where(ok[:, None], flat, 0.0))
+                        seen = seen.at[safe].add(ok.astype(jnp.float32))
+                    loss_sum = {k: loss_sum[k] + losses[k].astype(
+                        jnp.float32) for k in loss_sum}
+                    return (sums, seen, loss_sum), None
+
+                sums0 = {h: jnp.zeros((num_actions, c), jnp.float32)
+                         for h, c in heads.items()}
+                seen0 = jnp.zeros((num_actions,), jnp.float32)
+                loss0 = {k: jnp.float32(0.0) for k in loss_keys}
+                (sums, seen, loss_sum), _ = jax.lax.scan(
+                    body, (sums0, seen0, loss0), (ids_mat, valid_mat))
+                return sums, seen, loss_sum
+
+            self._bank_accum = jax.jit(accum_scan)
 
         self.state = None
         self.best = {"visual": 0.0, "visual_mt": 0.0, "audio": 0.0,
@@ -281,34 +341,53 @@ class RecognitionRunner:
         return stats
 
     # ------------------------------------------------------------------
+    def _run_bank_accum(self, acc, avg=None):
+        """One compiled scan over the whole val split: eval + on-device
+        vote scatter-add; a single (sums, seen, loss) fetch at the end.
+        The final partial chunk repeats its first window (like
+        batch_iterator's pad) for loss parity, with those rows masked
+        out of the votes."""
+        tbl = self._val_tables
+        n, bs = tbl.num_windows, self._local_bs
+        rows, valids = [], []
+        for start in range(0, n, bs):
+            chunk = np.arange(start, min(start + bs, n))
+            take = len(chunk)
+            if take < bs:
+                chunk = np.concatenate([chunk, np.full(bs - take,
+                                                       chunk[0])])
+            ok = np.zeros(bs, bool)
+            ok[:take] = True
+            rows.append(chunk)
+            valids.append(ok)
+        sums, seen, loss_sum = self._bank_accum(
+            self.state.params, jnp.asarray(np.stack(rows), jnp.int32),
+            jnp.asarray(np.stack(valids)))
+        for h in acc.sums:
+            acc.sums[h] += np.asarray(sums[h], np.float64)
+        acc.seen += np.asarray(seen, np.float64)
+        # labels, prefilled from the window tables (same last-write
+        # semantics as per-batch update — labels are per-action constants)
+        if self._val_v_ids is not None:
+            vi = self._val_v_ids.reshape(-1)
+            m = vi >= 0
+            for col, key in enumerate(("verb", "noun", "action")):
+                acc.v_labels[vi[m], col] = \
+                    tbl.labels_host[key].reshape(-1)[m]
+        if self._val_a_ids is not None and "audio" in acc.sums:
+            ai = self._val_a_ids.reshape(-1)
+            m = ai >= 0
+            acc.a_labels[ai[m]] = \
+                tbl.labels_host["class_id"].reshape(-1)[m]
+        if avg is not None:
+            n_chunks = len(rows)
+            avg.update({k: float(v) / n_chunks
+                        for k, v in loss_sum.items()})
+
     def _eval_batches(self, ds):
-        """Yield (logits, losses, v_ids, a_ids, labels) per eval batch —
-        from the HBM-resident tables when the bank path covers ``ds``,
-        else through the host iterator. Rows are already truncated to the
-        non-padded prefix so padded duplicates never vote twice."""
-        if self._bank_eval is not None and ds is self.val_ds:
-            tbl = self._val_tables
-            bs = self._local_bs
-            for start in range(0, tbl.num_windows, bs):
-                ids = np.arange(start, min(start + bs, tbl.num_windows))
-                take = len(ids)
-                if take < bs:
-                    # fixed-shape last chunk, padded by repeating the
-                    # chunk's first window like batch_iterator does (the
-                    # pad rows enter the loss average on both paths)
-                    ids = np.concatenate(
-                        [ids, np.full(bs - take, ids[0])])
-                logits, losses = self._bank_eval(self.state.params,
-                                                 jnp.asarray(ids))
-                sel = ids[:take]
-                yield ({k: np.asarray(v)[:take] for k, v in logits.items()},
-                       losses,
-                       self._val_v_ids[sel]
-                       if self._val_v_ids is not None else None,
-                       self._val_a_ids[sel]
-                       if self._val_a_ids is not None else None,
-                       {k: v[sel] for k, v in tbl.labels_host.items()})
-            return
+        """Yield (logits, losses, v_ids, a_ids, labels) per eval batch
+        through the host iterator. Rows are truncated to the non-padded
+        prefix so padded duplicates never vote twice."""
         ds.sample_augmentations = False
         for batch in batch_iterator(ds, self._local_bs, shuffle=False,
                                     drop_last=False, **self._shard_args):
@@ -334,10 +413,13 @@ class RecognitionRunner:
         acc = WindowVoteAccumulator(
             self.val_ds.windows.num_actions, _head_spec(self.cfg))
         avg = LossAverager()
-        for logits, losses, v_ids, a_ids, labels in \
-                self._eval_batches(self.val_ds):
-            acc.update(logits, v_ids, a_ids, labels)
-            avg.update({k: float(v) for k, v in losses.items()})
+        if self._bank_accum is not None:
+            self._run_bank_accum(acc, avg)
+        else:
+            for logits, losses, v_ids, a_ids, labels in \
+                    self._eval_batches(self.val_ds):
+                acc.update(logits, v_ids, a_ids, labels)
+                avg.update({k: float(v) for k, v in losses.items()})
 
         acc.reduce_across_processes()
         stats = acc.summarize(self.dataset_name)
@@ -399,8 +481,11 @@ class RecognitionRunner:
         ds = dataset or self.val_ds
         acc = WindowVoteAccumulator(
             ds.windows.num_actions, _head_spec(self.cfg))
-        for logits, _, v_ids, a_ids, labels in self._eval_batches(ds):
-            acc.update(logits, v_ids, a_ids, labels)
+        if self._bank_accum is not None and ds is self.val_ds:
+            self._run_bank_accum(acc)
+        else:
+            for logits, _, v_ids, a_ids, labels in self._eval_batches(ds):
+                acc.update(logits, v_ids, a_ids, labels)
 
         acc.reduce_across_processes()
 
