@@ -77,3 +77,42 @@ def test_detect_video_end_to_end():
         # score-sorted
         assert (np.diff(dets["scores"]) <= 1e-6).all()
         assert dets["labels"].max() < 4
+
+
+def test_recognition_server_quantized_agrees():
+    """RecognitionServer.quantized (static-int8) produces probabilities
+    that agree with the fp path: same top-1 on most intervals, bounded
+    probability delta."""
+    cfg = C.ModelConfig(
+        visual_classes=(5, 6, 4), audio_classes=3,
+        visual_input_dim=16, audio_input_dim=12, d_model=16, nhead=2,
+        num_layers=1, num_feats=6, compute_dtype="float32")
+    model = TimRecognition(cfg)
+    rng = jax.random.PRNGKey(1)
+    params = model.init(
+        {"params": rng, "dropout": rng}, jnp.zeros((1, 6, 16)),
+        jnp.zeros((1, 6, 12)), jnp.zeros((1, 14, 2)), 1, 1,
+        deterministic=True)["params"]
+
+    kwargs = dict(feat_stride=2, feat_gap=0.2, ensemble=3, batch_size=8)
+    f_server = RecognitionServer(cfg, params, **kwargs)
+    q_server = RecognitionServer.quantized(cfg, params, [None], **kwargs)
+
+    nfeat = 90
+    starts = np.linspace(0, 18.0, nfeat).astype(np.float32)
+    feat_times = np.stack([starts, starts + 1.1], -1)
+    rnd = np.random.default_rng(1)
+    v = rnd.normal(size=(nfeat, 16)).astype(np.float32)
+    a = rnd.normal(size=(nfeat, 12)).astype(np.float32)
+    intervals = np.stack([np.linspace(0.5, 15, 8),
+                          np.linspace(1.8, 17, 8)], -1).astype(np.float32)
+
+    fo = f_server.classify_intervals(v, a, feat_times, intervals)
+    qo = q_server.classify_intervals(v, a, feat_times, intervals)
+    agree = total = 0
+    for head in fo:
+        np.testing.assert_allclose(qo[head].sum(-1), 1.0, atol=1e-5)
+        agree += (fo[head].argmax(-1) == qo[head].argmax(-1)).sum()
+        total += len(intervals)
+        assert np.abs(fo[head] - qo[head]).max() <= 0.25, head
+    assert agree / total >= 0.75, f"top-1 agreement {agree}/{total}"

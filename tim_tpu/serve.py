@@ -68,6 +68,45 @@ class RecognitionServer:
 
         self._forward = jax.jit(forward)
 
+    @classmethod
+    def quantized(cls, cfg, params, calibration_batches,
+                  **kwargs) -> "RecognitionServer":
+        """Static-int8 recognition serving (the DetectionServer.quantized
+        counterpart): int8 weights + calibrated activation scales baked
+        as compile-time constants. ``calibration_batches``: iterable of
+        (v, a, times) tuples shaped like the forward inputs, or None for
+        a zero batch."""
+        import dataclasses
+
+        from tim_tpu.models import TimRecognition
+        from tim_tpu.ops import quant
+
+        qcfg = dataclasses.replace(cfg, quantized_inference=True)
+        qmodel = TimRecognition(qcfg)
+        qparams = quant.quantize_params(params)
+        nv = 1 if "visual" in cfg.data_modality else 0
+        na = 1 if "audio" in cfg.data_modality else 0
+
+        def apply_fn(variables, batch, mutable):
+            if batch is None:
+                b = 1
+                v = (jnp.zeros((b, cfg.num_feats, cfg.visual_input_dim))
+                     if "visual" in cfg.input_modality else None)
+                a = (jnp.zeros((b, cfg.num_feats, cfg.audio_input_dim))
+                     if "audio" in cfg.input_modality else None)
+                times = jnp.zeros((b, cfg.num_context + nv + na, 2))
+            else:
+                v, a, times = batch
+            return qmodel.apply(variables, v, a, times, nv, na,
+                                deterministic=True, mutable=mutable)
+
+        calibrated = quant.calibrate_act_scales(
+            apply_fn, {"params": qparams}, list(calibration_batches))
+        scfg = dataclasses.replace(
+            qcfg, quant_static_acts=True,
+            quant_act_scales=quant.act_scales_tuple(calibrated))
+        return cls(scfg, qparams, **kwargs)
+
     def _covering_windows(self, start: float, end: float) -> np.ndarray:
         """Up to ``ensemble`` window starts whose window contains (or best
         clips) the interval."""
