@@ -134,6 +134,25 @@ class DetectionRunner:
             self._bank_infer = jax.jit(
                 lambda params, ids: base_infer(params, _with_feats(ids)))
 
+            # whole-split validation as ONE scan: losses sum on device,
+            # single fetch (each per-batch fetch costs ~30ms RTT here)
+            loss_keys = ["loss"]
+            if "visual" in cfg.data_modality:
+                loss_keys += ["loss_visual", "loss_visual_reg"]
+            if "audio" in cfg.data_modality:
+                loss_keys += ["loss_audio", "loss_audio_reg"]
+
+            def bank_val_scan(state, ids_mat):
+                def body(sums, ids):
+                    metrics = base_val(state, _with_feats(ids))
+                    return ({k: sums[k] + metrics[k].astype(jnp.float32)
+                             for k in sums}, None)
+                sums0 = {k: jnp.float32(0.0) for k in loss_keys}
+                sums, _ = jax.lax.scan(body, sums0, ids_mat)
+                return sums
+
+            self._bank_val_scan = jax.jit(bank_val_scan)
+
         self.state = None
         self.best_loss = float("inf")
         self.last_best_epoch = 0
@@ -265,11 +284,14 @@ class DetectionRunner:
         if self._bank_val is not None:
             bs = self.tcfg.batch_size
             n = self._val_tables.num_windows
-            for i in range(0, n - bs + 1, bs):
-                metrics = self._bank_val(
-                    self.state, jnp.arange(i, i + bs, dtype=jnp.int32))
-                avg.update({k: float(v) for k, v in metrics.items()
-                            if k.startswith("loss")})
+            n_chunks = n // bs           # same drop-last as before
+            if n_chunks > 0:
+                ids_mat = jnp.asarray(
+                    np.arange(n_chunks * bs, dtype=np.int32).reshape(
+                        n_chunks, bs))
+                sums = self._bank_val_scan(self.state, ids_mat)
+                avg.update({k: float(v) / n_chunks
+                            for k, v in sums.items()})
             return self._log_val(avg, epoch)
         for batch in batch_iterator(self.val_ds, self._local_bs,
                                     shuffle=False, **self._shard_args):
