@@ -118,3 +118,50 @@ def test_param_shardings_shards_divisible_heads():
     sh = param_shardings(variables["params"], mesh)
     assert tuple(sh["cls_head"]["fc_action"]["kernel"].spec) == \
         (None, "model")
+
+
+def test_sequence_parallel_step_matches_single_device():
+    """dp x tp x SP: token-axis sharding constraints in the encoder's
+    post-LN regions (cfg.sequence_parallel) leave the training step
+    bit-comparable to the unsharded baseline."""
+    assert len(jax.devices()) >= 8
+    cfg = C.ModelConfig(
+        visual_classes=(9, 11, 13), audio_classes=7,
+        visual_input_dim=32, audio_input_dim=24, d_model=32, nhead=4,
+        num_layers=2, num_feats=8, compute_dtype="float32")
+    tcfg = C.TrainConfig(lr=1e-3, mixup_alpha=0.0, lambda_drloc=0.1)
+    # S = 2*8 + 3*2 + 2 = 24 — divisible by model=2, so the token axis
+    # genuinely shards (27 would silently stay replicated)
+    nv, na = 2, 2
+    batch = _make_batch(cfg, 8, nv, na)
+
+    model = TimRecognition(cfg)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": rng, "dropout": rng}, batch["v_feats"],
+        batch["a_feats"], batch["times"], nv, na, deterministic=True)
+    tx = make_optimizer(tcfg.lr, tcfg.weight_decay, 100, 10)
+    step0 = rec_train.make_train_step(model, cfg, tcfg, nv, na)
+    state0 = create_train_state(variables["params"], tx)
+    s0, m0 = jax.jit(step0)(state0, batch, rng)
+
+    import dataclasses
+    sp_cfg = dataclasses.replace(cfg, sequence_parallel=True)
+    sp_model = TimRecognition(sp_cfg)
+    sp_step = rec_train.make_train_step(sp_model, sp_cfg, tcfg, nv, na)
+    mesh = make_mesh(4, 2)
+    prev = getattr(jax.sharding, "get_mesh", lambda: None)()
+    jax.set_mesh(mesh)
+    try:
+        state = create_train_state(variables["params"], tx)
+        state = shard_train_state(state, mesh)
+        sharded_batch = shard_batch(batch, mesh)
+        s1, m1 = jax.jit(sp_step)(state, sharded_batch, rng)
+    finally:
+        if prev is not None:
+            jax.set_mesh(prev)
+    assert float(m1["loss"]) == pytest.approx(float(m0["loss"]), rel=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(s0.params),
+                    jax.tree_util.tree_leaves(s1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)

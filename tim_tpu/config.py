@@ -75,6 +75,11 @@ class ModelConfig:
     # accumulate fp32) — measured +5% dense inference; accuracy bound in
     # tests/test_quant_accuracy.py
     fast_scores: bool = False
+    # Sequence parallelism: shard the token axis over the 'model' mesh
+    # axis in the encoder's post-LN regions (Megatron-SP layout; XLA
+    # GSPMD inserts the gather/scatter collectives). Requires an active
+    # mesh (the runners call jax.set_mesh when this is on).
+    sequence_parallel: bool = False
 
     @property
     def encoder_width(self) -> int:

@@ -79,6 +79,7 @@ class _TimBase(nn.Module):
             act_scales=filter_scales(cfg.quant_act_scales, "encoder"),
             fused_ffn=cfg.use_fused_ffn,
             fast_scores=cfg.fast_scores,
+            sequence_parallel=cfg.sequence_parallel,
             name="encoder",
         )
 

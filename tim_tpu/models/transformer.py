@@ -13,6 +13,7 @@ Layout is batch-first [B, S, C] throughout (the reference shuttles
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -22,6 +23,29 @@ from tim_tpu.ops.attention import tim_attention
 from tim_tpu.ops.pallas_fused import fused_post_attention, fused_supported
 from tim_tpu.ops.quant import filter_scales, scale_for
 
+
+
+def _shard_tokens(x):
+    """Megatron-SP activation layout: [B, S, D] with S over the 'model'
+    mesh axis (post-LN regions). Requires an active mesh (jax.set_mesh);
+    GSPMD inserts the boundary collectives. Axes that don't divide their
+    mesh dimension stay replicated (e.g. S = 2*nf + queries is rarely a
+    multiple of the model axis — pad-free by design)."""
+    from jax.sharding import PartitionSpec as P, get_abstract_mesh
+
+    mesh = get_abstract_mesh()
+    if mesh is None or mesh.empty:
+        return x
+    shape = dict(mesh.shape)
+
+    def ok(dim, axis):
+        return axis in shape and x.shape[dim] % shape[axis] == 0
+
+    spec = P("data" if ok(0, "data") else None,
+             "model" if ok(1, "model") else None, None)
+    if spec == P(None, None, None):
+        return x
+    return jax.lax.with_sharding_constraint(x, spec)
 
 class SelfAttention(nn.Module):
     """Multi-head self-attention with the TIM context/self mask structure.
@@ -108,6 +132,7 @@ class EncoderLayer(nn.Module):
     act_scales: tuple = ()
     fused_ffn: bool = False
     fast_scores: bool = False
+    sequence_parallel: bool = False
 
     @nn.compact
     def __call__(self, x, num_ctx: int, deterministic: bool = True,
@@ -139,6 +164,8 @@ class EncoderLayer(nn.Module):
         x = x + nn.Dropout(self.dropout, deterministic=deterministic)(attn)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         x = x.astype(self.dtype)
+        if self.sequence_parallel:
+            x = _shard_tokens(x)
 
         if self.quantized:
             def dense(feats, name):
@@ -156,7 +183,10 @@ class EncoderLayer(nn.Module):
         h = dense(self.d_model, "linear2")(h)
         x = x + nn.Dropout(self.dropout, deterministic=deterministic)(h)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
-        return x.astype(self.dtype)
+        x = x.astype(self.dtype)
+        if self.sequence_parallel:
+            x = _shard_tokens(x)
+        return x
 
 
 class Encoder(nn.Module):
@@ -178,6 +208,7 @@ class Encoder(nn.Module):
     act_scales: tuple = ()
     fused_ffn: bool = False
     fast_scores: bool = False
+    sequence_parallel: bool = False
 
     @nn.compact
     def __call__(self, x, num_ctx: int, *, deterministic: bool = True,
@@ -193,6 +224,7 @@ class Encoder(nn.Module):
                 filter_scales(self.act_scales, f"layer{i}"),
                 self.fused_ffn,
                 self.fast_scores,
+                self.sequence_parallel,
                 name=f"layer{i}",
                 # only layer 0 sees batch-identical query tokens
             )(x, num_ctx, deterministic, shared_queries and i == 0)

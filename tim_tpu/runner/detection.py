@@ -51,6 +51,10 @@ class DetectionRunner:
 
         self.model = TimDetection(cfg)
         self.mesh = make_mesh(mesh_cfg.data, mesh_cfg.model)
+        if cfg.sequence_parallel:
+            # token-axis sharding constraints resolve axis names against
+            # the ambient mesh
+            jax.set_mesh(self.mesh)
         self.num_queries = generate_query_pyramid(
             cfg.inference_query_size).shape[0]
 

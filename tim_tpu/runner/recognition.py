@@ -70,6 +70,10 @@ class RecognitionRunner:
 
         self.model = TimRecognition(cfg)
         self.mesh = make_mesh(mesh_cfg.data, mesh_cfg.model)
+        if cfg.sequence_parallel:
+            # token-axis sharding constraints resolve axis names against
+            # the ambient mesh
+            jax.set_mesh(self.mesh)
         steps_per_epoch = max(
             len(train_ds) // tcfg.batch_size, 1) if train_ds else 1
         self.tx = make_optimizer(
