@@ -18,7 +18,8 @@ from tim_tpu.data.windows import Window, WindowSet
 
 
 def pad_rows(x, n, fill, dtype):
-    """Pad/truncate leading axis to ``n`` rows with ``fill``."""
+    """Pad the leading axis to ``n`` rows with ``fill`` (requires
+    ``len(x) <= n``)."""
     padded = np.full((n, *x.shape[1:]), fill, dtype)
     padded[:len(x)] = x
     return padded

@@ -127,8 +127,9 @@ class DeviceWindowTables:
 
         self.feat_indices = jnp.asarray(feat_idx)
         self.times = jnp.asarray(times)
-        # host copies stay around for metering paths (vote accumulation
-        # happens host-side, indexed by window id)
+        # host copies stay around for the runners' label prefill
+        # (acc.v_labels/a_labels are filled host-side from these once;
+        # the vote sums themselves accumulate on device)
         self.labels_host = {"verb": verb, "noun": noun, "action": action,
                             "class_id": class_id}
         self.labels = {k: jnp.asarray(v)

@@ -38,7 +38,8 @@ def _score_dtype():
     policy); ``TIM_TPU_FAST_SCORES=1`` switches to bf16 — a serving knob
     that halves the [B, H, Nq, F] score-tensor HBM traffic. The
     attention *outputs* still accumulate in fp32 either way."""
-    if os.environ.get("TIM_TPU_FAST_SCORES"):
+    v = os.environ.get("TIM_TPU_FAST_SCORES", "").strip().lower()
+    if v and v not in ("0", "false", "off", "no"):
         return jnp.bfloat16
     return jnp.float32
 
@@ -127,7 +128,9 @@ def tim_attention(
         return ctx_out
 
     # --- query block: cross-attention to context + self -------------------
-    if deterministic and _pallas_enabled():
+    # (the Pallas kernel has fp32 internals — bf16 score requests fall
+    # through to the XLA path so fast_scores is never silently ignored)
+    if deterministic and sdt == jnp.float32 and _pallas_enabled():
         # fused VMEM kernel: no [B, H, Nq, F] HBM intermediates
         from tim_tpu.ops.pallas_attention import query_block_attention
         qry_out = query_block_attention(qq, kc, kq, vc, vq)

@@ -53,7 +53,15 @@ class DetectionRunner:
         self.mesh = make_mesh(mesh_cfg.data, mesh_cfg.model)
         if cfg.sequence_parallel:
             # token-axis sharding constraints resolve axis names against
-            # the ambient mesh
+            # the ambient mesh; jax.set_mesh is process-global, so two
+            # runners with different SP meshes cannot coexist
+            from jax.sharding import get_abstract_mesh
+            cur = get_abstract_mesh()
+            if not cur.empty and cur != self.mesh.abstract_mesh:
+                raise RuntimeError(
+                    "sequence_parallel needs the ambient mesh; a "
+                    f"different mesh {cur} is already set in this "
+                    "process (one SP mesh per process)")
             jax.set_mesh(self.mesh)
         self.num_queries = generate_query_pyramid(
             cfg.inference_query_size).shape[0]
@@ -139,12 +147,20 @@ class DetectionRunner:
                 lambda params, ids: base_infer(params, _with_feats(ids)))
 
             # whole-split validation as ONE scan: losses sum on device,
-            # single fetch (each per-batch fetch costs ~30ms RTT here)
-            loss_keys = ["loss"]
-            if "visual" in cfg.data_modality:
-                loss_keys += ["loss_visual", "loss_visual_reg"]
-            if "audio" in cfg.data_modality:
-                loss_keys += ["loss_audio", "loss_audio_reg"]
+            # single fetch (each per-batch fetch costs ~30ms RTT here).
+            # Metric keys come from the val step itself via abstract eval
+            # so the scan can never drift from the host path.
+            loss_keys: list = []
+
+            def _discover_loss_keys(state):
+                ids = jnp.zeros((tcfg.batch_size,), jnp.int32)
+                shapes = jax.eval_shape(
+                    lambda st: base_val(st, _with_feats(ids)), state)
+                loss_keys[:] = sorted(
+                    k for k in shapes if k.startswith("loss"))
+
+            self._discover_loss_keys = _discover_loss_keys
+            self._bank_loss_keys = loss_keys
 
             def bank_val_scan(state, ids_mat):
                 def body(sums, ids):
@@ -290,6 +306,8 @@ class DetectionRunner:
             n = self._val_tables.num_windows
             n_chunks = n // bs           # same drop-last as before
             if n_chunks > 0:
+                if not self._bank_loss_keys:
+                    self._discover_loss_keys(self.state)
                 ids_mat = jnp.asarray(
                     np.arange(n_chunks * bs, dtype=np.int32).reshape(
                         n_chunks, bs))

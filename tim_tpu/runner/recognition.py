@@ -72,7 +72,15 @@ class RecognitionRunner:
         self.mesh = make_mesh(mesh_cfg.data, mesh_cfg.model)
         if cfg.sequence_parallel:
             # token-axis sharding constraints resolve axis names against
-            # the ambient mesh
+            # the ambient mesh; jax.set_mesh is process-global, so two
+            # runners with different SP meshes cannot coexist
+            from jax.sharding import get_abstract_mesh
+            cur = get_abstract_mesh()
+            if not cur.empty and cur != self.mesh.abstract_mesh:
+                raise RuntimeError(
+                    "sequence_parallel needs the ambient mesh; a "
+                    f"different mesh {cur} is already set in this "
+                    "process (one SP mesh per process)")
             jax.set_mesh(self.mesh)
         steps_per_epoch = max(
             len(train_ds) // tcfg.batch_size, 1) if train_ds else 1
@@ -141,28 +149,44 @@ class RecognitionRunner:
             vtables = self._val_tables
             base_eval = self._eval_step
             # vote metadata indexed by window id (host + device copies)
+            # gate on data_modality (which queries the model answers),
+            # NOT on feature-store presence: a modality can be answered
+            # from the other modality's features
             self._val_v_ids = (np.stack([
                 pad_rows(w.v_action_ids, self.nv, -1, np.int64)
                 for w in ws_val.windows])
-                if val_ds.visual is not None else None)
+                if "visual" in cfg.data_modality and self.nv > 0 else None)
             self._val_a_ids = (np.stack([
                 pad_rows(w.a_action_ids, self.na, -1, np.int64)
                 for w in ws_val.windows])
-                if val_ds.audio is not None else None)
+                if "audio" in cfg.data_modality and self.na > 0 else None)
             v_ids_dev = (jnp.asarray(self._val_v_ids, jnp.int32)
                          if self._val_v_ids is not None else None)
             a_ids_dev = (jnp.asarray(self._val_a_ids, jnp.int32)
                          if self._val_a_ids is not None else None)
             heads = _head_spec(cfg)
             num_actions = ws_val.num_actions
-            # static loss keys of make_eval_step for this config
-            loss_keys = []
-            if "visual" in cfg.data_modality:
-                if cfg.include_verb_noun:
-                    loss_keys += ["loss_verb", "loss_noun"]
-                loss_keys += ["loss_action", "loss_visual"]
-            if "audio" in cfg.data_modality:
-                loss_keys.append("loss_audio")
+            # loss keys come from the eval step itself (abstract eval, no
+            # compile) so the bank scan can never drift from the host path
+            loss_keys: list = []
+
+            def _with_feats_rec(params, ids):
+                batch = vtables.batch(ids)
+                v, a = gather_window_batch(
+                    vv_bank, va_bank, batch.pop("feat_indices"), rng=None)
+                if v is not None:
+                    batch["v_feats"] = v
+                if a is not None:
+                    batch["a_feats"] = a
+                return base_eval(params, batch)
+
+            def _discover_loss_keys(params):
+                ids = jnp.zeros((self._local_bs,), jnp.int32)
+                shapes = jax.eval_shape(_with_feats_rec, params, ids)
+                loss_keys[:] = sorted(shapes[1].keys())
+
+            self._discover_loss_keys = _discover_loss_keys
+            self._bank_loss_keys = loss_keys
 
             def _safe_ids(ids_tab, row_valid, n_per):
                 flat_ids = ids_tab.reshape(-1)
@@ -173,15 +197,7 @@ class RecognitionRunner:
                 def body(carry, inp):
                     sums, seen, loss_sum = carry
                     ids, valid = inp
-                    batch = vtables.batch(ids)
-                    v, a = gather_window_batch(
-                        vv_bank, va_bank, batch.pop("feat_indices"),
-                        rng=None)
-                    if v is not None:
-                        batch["v_feats"] = v
-                    if a is not None:
-                        batch["a_feats"] = a
-                    logits, losses = base_eval(params, batch)
+                    logits, losses = _with_feats_rec(params, ids)
                     if v_ids_dev is not None and self.nv > 0:
                         safe, ok = _safe_ids(
                             jnp.take(v_ids_dev, ids, axis=0), valid,
@@ -351,6 +367,9 @@ class RecognitionRunner:
         The final partial chunk repeats its first window (like
         batch_iterator's pad) for loss parity, with those rows masked
         out of the votes."""
+        if not self._bank_loss_keys:
+            # fills the list accum_scan closes over, before first trace
+            self._discover_loss_keys(self.state.params)
         tbl = self._val_tables
         n, bs = tbl.num_windows, self._local_bs
         rows, valids = [], []
