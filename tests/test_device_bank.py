@@ -273,3 +273,44 @@ def test_recognition_bank_validate_and_extract_match_host():
         else:
             np.testing.assert_allclose(pb[k], ph[k], atol=1e-5,
                                        err_msg=f"pred key {k}")
+
+
+def test_bank_validate_asymmetric_modality():
+    """input_modality='audio' + data_modality='audio_visual' (visual
+    queries answered from audio features): vote metadata must gate on
+    data_modality, not feature-store presence — bank val == host val."""
+    from tim_tpu import config as C
+    from tim_tpu.runner import RecognitionRunner
+
+    b = synthetic.synthetic_epic(seed=9, num_videos=2, video_seconds=40.0,
+                                 per_video=6, visual_dim=16, audio_dim=12,
+                                 visual_classes=(5, 6, 4), audio_classes=3)
+    a1 = {k: v[:, :1] for k, v in b["a_feats"].items()}
+    v_norm = normalize_actions(b["v_actions"], "visual")
+    a_norm = normalize_actions(b["a_actions"], "audio")
+    ws = build_recognition_windows(
+        v_norm, a_norm, b["video_info"], b["v_feat_times"],
+        num_feats=6, feat_stride=2, feat_gap=0.2)
+    ds = RecognitionDataset(ws, None, FeatureStore(a1, b["a_feat_times"]),
+                            sample_augmentations=False)
+    cfg = C.ModelConfig(
+        visual_classes=(5, 6, 4), audio_classes=3,
+        visual_input_dim=16, audio_input_dim=12, d_model=16, nhead=2,
+        num_layers=1, num_feats=6, compute_dtype="float32",
+        input_modality="audio", data_modality="audio_visual")
+    tcfg = C.TrainConfig(batch_size=4, mixup_alpha=0.0, lambda_drloc=0.0)
+
+    host = RecognitionRunner(cfg, tcfg, ds, ds,
+                             mesh_cfg=C.MeshConfig(data=1))
+    host.init_state()
+    banked = RecognitionRunner(cfg, tcfg, ds, ds,
+                               mesh_cfg=C.MeshConfig(data=1),
+                               use_device_bank=True)
+    banked.init_state()
+    banked.state = banked.state.replace(params=host.state.params)
+    sv, sb = host.validate(), banked.validate()
+    assert set(sv) == set(sb)
+    # the visual heads must actually vote (the pre-fix bug left them 0)
+    assert sv["action_top5"] > 0
+    for k in sv:
+        np.testing.assert_allclose(sb[k], sv[k], rtol=1e-5, err_msg=k)
