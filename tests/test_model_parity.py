@@ -87,3 +87,21 @@ def test_detection_av_parity():
                                atol=2e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(ctx), want[4].numpy(),
                                atol=2e-4, rtol=1e-3)
+
+
+def test_converter_strips_ddp_wrapper_prefix():
+    """A 'module.'-wrapped state dict (DataParallel save) converts to the
+    identical param tree as the bare one."""
+    import jax
+
+    from tests import torch_oracle
+    from tim_tpu.convert import recognition_params_from_torch
+
+    oracle = torch_oracle.OracleRecognitionAV(16, 12, 16, 2, 1, ((5, 6, 4), 3))
+    sd = {k: v for k, v in oracle.state_dict().items()}
+    wrapped = {f"module.{k}": v for k, v in sd.items()}
+    bare = recognition_params_from_torch(sd, d_model=16, num_layers=1)
+    conv = recognition_params_from_torch(wrapped, d_model=16, num_layers=1)
+    for a, b in zip(jax.tree_util.tree_leaves(bare),
+                    jax.tree_util.tree_leaves(conv)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -32,6 +32,17 @@ def _np(x):
     return np.asarray(x)
 
 
+def _strip_wrapper(sd: Mapping) -> Mapping:
+    """Drop a uniform DataParallel/compile wrapper prefix if present.
+    The reference saves ``model.module.state_dict()`` for multi-GPU runs
+    (``recognition/scripts/train.py:139``) so released files should be
+    bare, but files saved from a wrapped model still convert."""
+    for prefix in ("module.", "_orig_mod."):
+        if sd and all(k.startswith(prefix) for k in sd):
+            return {k[len(prefix):]: v for k, v in sd.items()}
+    return sd
+
+
 def _linear(sd: Mapping, prefix: str) -> Dict:
     # torch Linear stores weight [out, in]; flax kernel is [in, out].
     return {
@@ -125,7 +136,7 @@ def recognition_params_from_torch(
     state_dict: Mapping, d_model: int = 512, num_layers: int = 4
 ) -> Dict:
     """Reference recognition ``state_dict`` -> ``{'params': ...}`` pytree."""
-    sd = state_dict
+    sd = _strip_wrapper(state_dict)
     width = 2 * d_model
     params = {
         "time_mlp": _mlp(sd, "time_mlp", (0, 2, 4)),
@@ -154,7 +165,7 @@ def detection_params_from_torch(
     state_dict: Mapping, d_model: int = 512, num_layers: int = 6
 ) -> Dict:
     """Reference detection ``state_dict`` -> ``{'params': ...}`` pytree."""
-    sd = state_dict
+    sd = _strip_wrapper(state_dict)
     width = 2 * d_model
     params = {
         "time_mlp": _mlp(sd, "time_mlp", (0, 2, 4)),
