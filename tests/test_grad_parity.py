@@ -67,7 +67,8 @@ def test_recognition_loss_and_grad_parity():
                 + 0.5 * ce(logits[3], labels["class_id"]))
 
     j_loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
-    assert float(j_loss) == pytest.approx(float(t_loss), rel=1e-4)
+    assert float(j_loss) == pytest.approx(
+        float(t_loss.detach()), rel=1e-4)
 
     def check(j_grad, t_param, name, atol=5e-5):
         t_grad = t_param.grad.numpy()
