@@ -347,3 +347,45 @@ def test_file_level_chain_through_reference_main(tmp_path, capsys):
             captured[f"{task}_map_avg"], abs=1e-9), task
     for sls in ("sls_pt", "sls_tl", "sls_td"):
         assert sls in captured
+
+
+def test_evals_cli_audio_task(tmp_path, capsys):
+    """EPIC-Sounds-style audio detection through the file CLI: generic
+    second-valued GT pickle + a_proposals/audio dump -> Soft-NMS ->
+    audio_based_interaction_detection submission -> mAP."""
+    pd = pytest.importorskip("pandas")
+    from tim_tpu.evals.__main__ import main as evals_main
+
+    rng = np.random.default_rng(31)
+    n_gt, n_prop, n_cls = 20, 90, 6
+    gs = rng.uniform(0, 40, n_gt)
+    ann = pd.DataFrame({
+        "video_id": [f"P{i % 2}" for i in range(n_gt)],
+        "start_seconds": gs,
+        "stop_seconds": gs + rng.uniform(0.5, 3, n_gt),
+        "class_id": rng.integers(0, n_cls, n_gt),
+    })
+    gt_pkl = tmp_path / "sounds_gt.pkl"
+    ann.to_pickle(gt_pkl)
+    starts = rng.uniform(0, 40, n_prop)
+    dump = tmp_path / "dump.npz"
+    np.savez(dump,
+             video_ids=np.asarray([f"P{i % 2}" for i in range(n_prop)],
+                                  object),
+             a_proposals=np.stack(
+                 [starts, starts + rng.uniform(0.5, 4, n_prop)], -1),
+             audio=rng.uniform(0, 0.6, (n_prop, n_cls)))
+    sub = tmp_path / "audio_sub.json"
+    result = evals_main([
+        "--dump", str(dump), "--gt", str(gt_pkl),
+        "--task", "audio", "--dataset", "epic_sounds",
+        "--submission", str(sub),
+    ])
+    capsys.readouterr()
+    assert 0.0 <= result["avg_mAP"] <= 1.0
+    assert len(result["mAP"]) == 5
+    import json
+    with open(sub) as f:
+        s = json.load(f)
+    assert s["challenge"] == "audio_based_interaction_detection"
+    assert all("audio" in e for v in s["results"].values() for e in v)
