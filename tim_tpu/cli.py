@@ -114,6 +114,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--torch_checkpoint", default="",
                    help="released reference checkpoint (.pyth) to convert "
                         "and load")
+    p.add_argument("--fast_scores", type=_str2bool, default=False,
+                   help="bf16 attention scores/softmax (serving knob, "
+                        "accuracy contract in tests/test_quant_accuracy)")
+    p.add_argument("--sequence_parallel", type=_str2bool, default=False,
+                   help="shard the token axis over the model mesh axis "
+                        "in the encoder (needs --mesh_model > 1)")
+    p.add_argument("--remat", type=_str2bool, default=False,
+                   help="rematerialize encoder layers in backward "
+                        "(memory <-> FLOPs trade)")
     return p
 
 
@@ -162,6 +171,9 @@ def configs_from_args(args):
         include_verb_noun=include_vn,
         apply_feature_pooling=args.apply_feature_pooling,
         compute_dtype=args.compute_dtype,
+        fast_scores=args.fast_scores,
+        sequence_parallel=args.sequence_parallel,
+        remat=args.remat,
     )
     if detection:
         mcfg = C.DetectionConfig(
