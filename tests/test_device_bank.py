@@ -314,3 +314,104 @@ def test_bank_validate_asymmetric_modality():
     assert sv["action_top5"] > 0
     for k in sv:
         np.testing.assert_allclose(sb[k], sv[k], rtol=1e-5, err_msg=k)
+
+
+def test_topk_extraction_matches_dense():
+    """top_k dense dumps: with k == C the thresholded candidate sets and
+    the full mAP chain match the dense dump exactly (host and bank
+    paths); small k yields a subset."""
+    from tim_tpu import config as C
+    from tim_tpu.data.dataset import DetectionDataset
+    from tim_tpu.data.windows import build_detection_windows
+    from tim_tpu.evals.format_predictions import (
+        evaluate_detections, threshold_predictions,
+        threshold_predictions_topk)
+    from tim_tpu.evals.format_predictions import gt_to_columns
+    from tim_tpu.runner import DetectionRunner
+
+    b = synthetic.synthetic_epic(seed=5, num_videos=2, video_seconds=40.0,
+                                 per_video=6, visual_dim=16, audio_dim=12,
+                                 visual_classes=(4,), audio_classes=3)
+    num_feats = 6
+    window_size = num_feats * 2 * 0.2
+    v_norm = normalize_actions(b["v_actions"], "visual", detection=True,
+                               window_size=window_size)
+    a_norm = normalize_actions(b["a_actions"], "audio", detection=True,
+                               window_size=window_size)
+    ws = build_detection_windows(
+        v_norm, a_norm, b["video_info"], b["v_feat_times"],
+        num_feats=num_feats, feat_stride=2, feat_gap=0.2)
+    v1 = {k: v[:, :1] for k, v in b["v_feats"].items()}
+    a1 = {k: v[:, :1] for k, v in b["a_feats"].items()}
+    ds = DetectionDataset(ws, FeatureStore(v1, b["v_feat_times"]),
+                          FeatureStore(a1, b["a_feat_times"]),
+                          sample_augmentations=False,
+                          include_verb_noun=False,
+                          dataset_name="synthetic")
+    cfg = C.DetectionConfig(
+        visual_classes=(4,), audio_classes=3,
+        visual_input_dim=16, audio_input_dim=12, d_model=16, nhead=2,
+        num_layers=1, num_feats=num_feats, compute_dtype="float32",
+        train_query_size=0.1, inference_query_size=0.2)
+    tcfg = C.TrainConfig(batch_size=4, lambda_drloc=0.0)
+
+    runner = DetectionRunner(cfg, tcfg, ds, ds,
+                             mesh_cfg=C.MeshConfig(data=1))
+    runner.init_state()
+
+    dense = runner.extract_dense_predictions()
+    topk = runner.extract_dense_predictions(top_k=4)   # == num classes
+    thr = 0.4
+    c_dense = threshold_predictions(
+        dense["video_ids"], dense["v_proposals"], dense["action"], thr)
+    c_topk = threshold_predictions_topk(
+        topk["video_ids"], topk["v_proposals"],
+        topk["action_topk_values"], topk["action_topk_classes"], thr)
+    assert set(c_dense) == set(c_topk)
+    for vid in c_dense:
+        want = sorted(zip(c_dense[vid]["labels"],
+                          map(tuple, c_dense[vid]["segments"]),
+                          np.round(c_dense[vid]["scores"], 6)))
+        got = sorted(zip(c_topk[vid]["labels"],
+                         map(tuple, c_topk[vid]["segments"]),
+                         np.round(c_topk[vid]["scores"], 6)))
+        assert want == got, vid
+
+    # end-to-end mAP equality through evaluate_detections
+    from tim_tpu.data.windows import timestamp_to_seconds
+    va = b["v_actions"]
+    gt = gt_to_columns(
+        va["video_id"].to_numpy(object),
+        va["start_timestamp"].apply(timestamp_to_seconds).to_numpy(float),
+        va["stop_timestamp"].apply(timestamp_to_seconds).to_numpy(float),
+        va["action_class"].to_numpy())
+    m1, a1_, _ = evaluate_detections(
+        dense["video_ids"], dense["v_proposals"], dense["action"], gt,
+        score_threshold=thr, task="action")
+    m2, a2_, _ = evaluate_detections(
+        topk["video_ids"], topk["v_proposals"],
+        (topk["action_topk_values"], topk["action_topk_classes"]), gt,
+        score_threshold=thr, task="action")
+    np.testing.assert_allclose(m1, m2, atol=1e-9)
+    assert abs(a1_ - a2_) <= 1e-9
+
+    # bank path agrees with the host top-k dump
+    banked = DetectionRunner(cfg, tcfg, ds, ds,
+                             mesh_cfg=C.MeshConfig(data=1),
+                             use_device_bank=True)
+    banked.init_state()
+    banked.state = banked.state.replace(params=runner.state.params)
+    tb = banked.extract_dense_predictions(top_k=4)
+    np.testing.assert_allclose(tb["action_topk_values"],
+                               topk["action_topk_values"], atol=1e-5)
+    np.testing.assert_array_equal(tb["action_topk_classes"],
+                                  topk["action_topk_classes"])
+
+    # truncating k yields a subset of the dense candidates
+    t1 = runner.extract_dense_predictions(top_k=1)
+    c1 = threshold_predictions_topk(
+        t1["video_ids"], t1["v_proposals"],
+        t1["action_topk_values"], t1["action_topk_classes"], thr)
+    n1 = sum(len(e["scores"]) for e in c1.values())
+    nd = sum(len(e["scores"]) for e in c_dense.values())
+    assert n1 <= nd

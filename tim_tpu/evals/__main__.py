@@ -100,14 +100,19 @@ def main(argv=None):
     score_key, prop_key = TASK_KEYS[args.task]
 
     dump = np.load(args.dump, allow_pickle=True)
-    if score_key not in dump:
+    if score_key in dump:
+        scores = dump[score_key]
+    elif f"{score_key}_topk_values" in dump:
+        # device-side top-k dump (extract_dense_predictions(top_k=...))
+        scores = (dump[f"{score_key}_topk_values"],
+                  dump[f"{score_key}_topk_classes"])
+    else:
         raise SystemExit(
             f"dump has no '{score_key}' scores "
             f"(available: {sorted(dump.keys())}) — was the model trained "
             f"for this task?")
     video_ids = dump["video_ids"]
     proposals = dump[prop_key]
-    scores = dump[score_key]
 
     annotations = pd.read_pickle(args.gt)
     if args.dataset == "epic" and "verb_class" in annotations.columns:
@@ -131,8 +136,10 @@ def main(argv=None):
         task=args.task, challenge=challenge,
         challenge_json_path=args.challenge_json or None,
         num_nouns=args.noun_count)
+    num_classes = (int(scores.shape[-1]) if not isinstance(scores, tuple)
+                   else int(np.max(scores[1])) + 1)  # top-k: lower bound
     validate_submission(submission, task=args.task,
-                        num_classes=int(scores.shape[-1]))
+                        num_classes=num_classes)
 
     # reference evaluator output shape: one line per tIoU + average
     for t, v in zip(args.tiou, m_ap):

@@ -51,6 +51,49 @@ def threshold_predictions(
     }
 
 
+def threshold_predictions_topk(
+    video_ids: np.ndarray,        # [N] str
+    proposals: np.ndarray,        # [N, 2] video-time segments
+    topk_values: np.ndarray,      # [N, k] sorted descending
+    topk_classes: np.ndarray,     # [N, k] int
+    score_threshold: float = 0.03,
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """``threshold_predictions`` over a device-side top-k dump instead of
+    the dense [N, C] matrix. Identical candidates whenever every class
+    above the threshold fits in k; rows where even the k-th score clears
+    the threshold may be truncated — counted and warned."""
+    import logging
+
+    proposals = np.round(np.asarray(proposals, np.float64), 3)
+    topk_values = np.asarray(topk_values)
+    saturated = int((topk_values[:, -1] > score_threshold).sum())
+    if saturated:
+        logging.getLogger(__name__).warning(
+            "top-k dump may truncate %d / %d proposals (k-th score above "
+            "the %.3g threshold) — raise top_k", saturated,
+            len(topk_values), score_threshold)
+    out: Dict[str, Dict[str, List]] = {}
+    valid_len = proposals[:, 1] - proposals[:, 0] > 0.0
+    for i in np.flatnonzero(valid_len):
+        sel = np.flatnonzero(topk_values[i] > score_threshold)
+        if sel.size == 0:
+            continue
+        vid = str(video_ids[i])
+        entry = out.setdefault(vid, {"segments": [], "scores": [],
+                                     "labels": []})
+        entry["segments"].extend([proposals[i]] * sel.size)
+        entry["scores"].extend(topk_values[i, sel].tolist())
+        entry["labels"].extend(
+            np.asarray(topk_classes)[i, sel].tolist())
+    return {
+        vid: {
+            "segments": np.asarray(e["segments"], np.float32).reshape(-1, 2),
+            "scores": np.asarray(e["scores"], np.float32),
+            "labels": np.asarray(e["labels"], np.int64),
+        } for vid, e in out.items()
+    }
+
+
 def nms_per_video(
     candidates: Dict[str, Dict[str, np.ndarray]],
     *,
@@ -274,7 +317,7 @@ def two_stream_fusion(
 def evaluate_detections(
     video_ids: np.ndarray,
     proposals: np.ndarray,
-    scores: np.ndarray,
+    scores,                       # [N, C] dense, or (values, classes) top-k
     gt_columns: Dict,
     *,
     score_threshold: float = 0.03,
@@ -293,8 +336,13 @@ def evaluate_detections(
     official challenge triplet format (action labels decoded to
     verb/noun via ``num_nouns``) consumable by the reference
     ``evaluate_detection_json_ek100.py`` main()."""
-    cands = threshold_predictions(video_ids, proposals, scores,
-                                  score_threshold)
+    if isinstance(scores, tuple):
+        cands = threshold_predictions_topk(
+            video_ids, proposals, *scores,
+            score_threshold=score_threshold)
+    else:
+        cands = threshold_predictions(video_ids, proposals, scores,
+                                      score_threshold)
     dets = nms_per_video(cands, iou_threshold=iou_threshold, sigma=sigma,
                          n_jobs=n_jobs)
     submission = build_submission(dets, task=task, challenge=challenge)

@@ -143,6 +143,7 @@ class DetectionRunner:
 
             self._bank_val = jax.jit(
                 lambda state, ids: base_val(state, _with_feats(ids)))
+            self._bank_with_feats = _with_feats
             self._bank_infer = jax.jit(
                 lambda params, ids: base_infer(params, _with_feats(ids)))
 
@@ -377,36 +378,66 @@ class DetectionRunner:
         return final
 
     # ------------------------------------------------------------------
-    def extract_dense_predictions(self, dataset=None):
+    def extract_dense_predictions(self, dataset=None, top_k=None):
         """Dense per-window proposal dump over *all* windows
         (``detection/scripts/extract_feats.py:68-139``). Returns
-        column arrays ready for ``evals.format_predictions``."""
+        column arrays ready for ``evals.format_predictions``.
+
+        ``top_k``: ship only the k best classes per query
+        (``<head>_topk_values`` / ``<head>_topk_classes`` columns) —
+        ~C/k x less device->host transfer; identical eval results
+        whenever every above-threshold class fits in k
+        (``threshold_predictions_topk`` warns otherwise)."""
         ds = dataset or self.val_ds
         ds.sample_augmentations = False
+        host_infer, bank_infer = self._infer_step, self._bank_infer
+        if top_k is not None:
+            if not hasattr(self, "_topk_steps"):
+                self._topk_steps = {}
+            if top_k not in self._topk_steps:
+                base = steps.make_inference_step(self.model, self.cfg,
+                                                 top_k)
+                bank = None
+                if self._bank_infer is not None:
+                    wf = self._bank_with_feats
+                    bank = jax.jit(lambda p, ids: base(p, wf(ids)))
+                self._topk_steps[top_k] = (jax.jit(base), bank)
+            host_infer, bank_infer = self._topk_steps[top_k]
         win_idx, proposals, queries = [], [], []
         scores: Dict[str, list] = {}
 
         windows = ds.windows.windows
+
+        head_names = {"v": "action", "verb": "verb", "noun": "noun",
+                      "a": "audio"}
 
         def collect(out, idxs, take):
             win_idx.append(np.asarray(idxs[:take]))
             queries.append(out["queries"][:take])
             if "v_proposals" in out:
                 proposals.append(out["v_proposals"][:take])
-                scores.setdefault("action", []).append(
-                    out["v_scores"][:take])
+                if "v_scores" in out:
+                    scores.setdefault("action", []).append(
+                        out["v_scores"][:take])
                 if "verb_scores" in out:
                     scores.setdefault("verb", []).append(
                         out["verb_scores"][:take])
                     scores.setdefault("noun", []).append(
                         out["noun_scores"][:take])
             if "a_proposals" in out:
-                scores.setdefault("audio", []).append(
-                    out["a_scores"][:take])
+                if "a_scores" in out:
+                    scores.setdefault("audio", []).append(
+                        out["a_scores"][:take])
                 scores.setdefault("a_proposals", []).append(
                     out["a_proposals"][:take])
+            for key, val in out.items():
+                if "_topk_" in key:
+                    base, suffix = key.split("_topk_")
+                    scores.setdefault(
+                        f"{head_names[base]}_topk_{suffix}", []).append(
+                            val[:take])
 
-        if self._bank_infer is not None and dataset is None:
+        if bank_infer is not None and dataset is None:
             # HBM-resident path: batches are just window-id ranges
             bs = self.tcfg.batch_size
             n = self._val_tables.num_windows
@@ -415,8 +446,8 @@ class DetectionRunner:
                 pad = bs - len(ids)
                 ids_p = np.concatenate([ids, np.full(pad, ids[-1])]) \
                     if pad else ids
-                out = self._bank_infer(self.state.params,
-                                       jnp.asarray(ids_p, jnp.int32))
+                out = bank_infer(self.state.params,
+                                 jnp.asarray(ids_p, jnp.int32))
                 out = {k: np.asarray(v) for k, v in out.items()}
                 collect(out, ids_p, len(ids))
         else:
@@ -427,7 +458,7 @@ class DetectionRunner:
                 pad = batch.pop("_pad", 0)
                 idxs = batch.pop("_indices")
                 take = self._local_bs - pad
-                out = self._infer_step(self.state.params, shard_batch(
+                out = host_infer(self.state.params, shard_batch(
                     batch, self.mesh))
                 out = {k: host_local_rows(v) for k, v in out.items()}
                 collect(out, idxs, take)
@@ -458,8 +489,11 @@ class DetectionRunner:
 
     def evaluate_mAP(self, gt_columns, dataset=None, *, task="action",
                      score_key="action", proposals_key="v_proposals",
-                     **eval_kwargs):
-        dump = self.extract_dense_predictions(dataset)
+                     top_k=None, **eval_kwargs):
+        dump = self.extract_dense_predictions(dataset, top_k=top_k)
+        sc = (dump[score_key] if top_k is None else
+              (dump[f"{score_key}_topk_values"],
+               dump[f"{score_key}_topk_classes"]))
         return evaluate_detections(
-            dump["video_ids"], dump[proposals_key], dump[score_key],
+            dump["video_ids"], dump[proposals_key], sc,
             gt_columns, task=task, **eval_kwargs)

@@ -289,11 +289,20 @@ def make_val_step(
 def make_inference_step(
     model: TimDetection,
     cfg: DetectionConfig,
+    top_k: int | None = None,
 ):
     """Returns infer_step(params, batch) -> dict with per-query sigmoid
     scores and proposals denormalized to video time, mirroring the dense
     extraction dump (``detection/scripts/extract_feats.py:68-139``,
-    ``meters.py`` FeatureMeter: ``clamp(reg)*win_size + win_start``)."""
+    ``meters.py`` FeatureMeter: ``clamp(reg)*win_size + win_start``).
+
+    ``top_k``: emit only the k best classes per query as
+    ``(<head>_topk_values, <head>_topk_classes)`` instead of the dense
+    [B, nq, C] score matrices — the eval chain thresholds at ~0.03 right
+    after the dump, so shipping the top-k slashes device->host transfer
+    ~C/k x with identical downstream results whenever every
+    above-threshold class fits in k (``threshold_predictions_topk``
+    checks and warns otherwise)."""
     grid = jnp.asarray(Q.generate_query_pyramid(cfg.inference_query_size))
     nq = grid.shape[0]
     has_visual = "visual" in cfg.data_modality
@@ -328,21 +337,29 @@ def make_inference_step(
 
         win_start = batch["window_start"][:, None, None]
         win_size = batch["window_size"][:, None, None]
+
+        def scores_out(out, name, logits):
+            probs = jax.nn.sigmoid(logits.astype(jnp.float32))
+            if top_k is None:
+                out[name] = probs
+                return
+            k = min(top_k, probs.shape[-1])
+            vals, idx = jax.lax.top_k(probs, k)
+            base = name.split("_")[0]
+            out[f"{base}_topk_values"] = vals
+            out[f"{base}_topk_classes"] = idx.astype(jnp.int32)
+
         out = {"queries": queries * win_size + win_start}
         if has_visual:
-            out["v_scores"] = jax.nn.sigmoid(
-                cls_logits[2].astype(jnp.float32))
+            scores_out(out, "v_scores", cls_logits[2])
             if len(cfg.visual_classes) == 3:
-                out["verb_scores"] = jax.nn.sigmoid(
-                    cls_logits[0].astype(jnp.float32))
-                out["noun_scores"] = jax.nn.sigmoid(
-                    cls_logits[1].astype(jnp.float32))
+                scores_out(out, "verb_scores", cls_logits[0])
+                scores_out(out, "noun_scores", cls_logits[1])
             out["v_proposals"] = (
                 jnp.clip(reg_preds[0].astype(jnp.float32), 0.0, 1.0)
                 * win_size + win_start)
         if has_audio:
-            out["a_scores"] = jax.nn.sigmoid(
-                cls_logits[3].astype(jnp.float32))
+            scores_out(out, "a_scores", cls_logits[3])
             out["a_proposals"] = (
                 jnp.clip(reg_preds[1].astype(jnp.float32), 0.0, 1.0)
                 * win_size + win_start)
