@@ -116,3 +116,40 @@ def test_recognition_server_quantized_agrees():
         total += len(intervals)
         assert np.abs(fo[head] - qo[head]).max() <= 0.25, head
     assert agree / total >= 0.75, f"top-1 agreement {agree}/{total}"
+
+
+def test_detect_video_topk_matches_dense():
+    """DetectionServer(top_k=C) produces identical detections to the
+    dense path (the k-best dump covers every above-threshold class)."""
+    cfg = C.DetectionConfig(
+        visual_classes=(4,), audio_classes=3,
+        visual_input_dim=16, audio_input_dim=12, d_model=16, nhead=2,
+        num_layers=1, num_feats=6, compute_dtype="float32",
+        inference_query_size=0.2)
+    nq = generate_query_pyramid(cfg.inference_query_size).shape[0]
+    model = TimDetection(cfg)
+    rng = jax.random.PRNGKey(2)
+    t_dummy = jnp.zeros((1, 12 + 2 * nq, 2))
+    params = model.init(
+        {"params": rng, "dropout": rng}, jnp.zeros((1, 6, 16)),
+        jnp.zeros((1, 6, 12)), t_dummy, nq, nq,
+        deterministic=True)["params"]
+
+    kwargs = dict(feat_stride=2, feat_gap=0.2, batch_size=4)
+    dense = DetectionServer(cfg, params, **kwargs)
+    topk = DetectionServer(cfg, params, top_k=4, **kwargs)
+
+    duration = 20.0
+    nfeat = 95
+    starts = np.linspace(0, duration - 1.1, nfeat).astype(np.float32)
+    ft = np.stack([starts, starts + 1.1], -1)
+    rnd = np.random.default_rng(2)
+    v = rnd.normal(size=(nfeat, 16)).astype(np.float32)
+    a = rnd.normal(size=(nfeat, 12)).astype(np.float32)
+
+    d1 = dense.detect_video(v, a, ft, duration, score_threshold=0.005)
+    d2 = topk.detect_video(v, a, ft, duration, score_threshold=0.005)
+    assert len(d1["scores"]) == len(d2["scores"]) > 0
+    np.testing.assert_allclose(d1["segments"], d2["segments"], atol=1e-5)
+    np.testing.assert_allclose(d1["scores"], d2["scores"], atol=1e-5)
+    np.testing.assert_array_equal(d1["labels"], d2["labels"])

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from tim_tpu.config import DetectionConfig
 from tim_tpu.data.windows import window_feat_indices
 from tim_tpu.evals.format_predictions import (
-    nms_per_video, threshold_predictions)
+    nms_per_video, threshold_predictions, threshold_predictions_topk)
 from tim_tpu.models import TimDetection
 from tim_tpu.models.queries import generate_query_pyramid
 from tim_tpu.train.detection import make_inference_step
@@ -200,6 +200,7 @@ class DetectionServer:
         feat_gap: float = 0.2,
         window_stride: float = 1.0,
         batch_size: int = 128,
+        top_k: Optional[int] = None,
     ):
         self.cfg = cfg
         self.params = params
@@ -207,8 +208,13 @@ class DetectionServer:
         self.window_stride = window_stride
         self.window_size = cfg.num_feats * feat_gap * feat_stride
         self.batch_size = batch_size
+        # top_k: ship only the k best classes per query from the device
+        # (28x measured end-to-end for EPIC's 3806 classes; exact as long
+        # as every above-threshold class fits in k)
+        self.top_k = top_k
         self.model = TimDetection(cfg)
-        self._infer = jax.jit(make_inference_step(self.model, cfg))
+        self._infer = jax.jit(make_inference_step(self.model, cfg,
+                                                  top_k=top_k))
         self.num_queries = generate_query_pyramid(
             cfg.inference_query_size).shape[0]
 
@@ -336,16 +342,31 @@ class DetectionServer:
 
             out = self._infer(self.params, batch)
             take = len(chunk)
-            key = "v_scores" if modality == "visual" else "a_scores"
-            pkey = "v_proposals" if modality == "visual" else "a_proposals"
-            all_scores.append(np.asarray(out[key][:take]))
+            base = "v" if modality == "visual" else "a"
+            pkey = f"{base}_proposals"
+            if self.top_k is None:
+                all_scores.append(np.asarray(out[f"{base}_scores"][:take]))
+            else:
+                all_scores.append(
+                    (np.asarray(out[f"{base}_topk_values"][:take]),
+                     np.asarray(out[f"{base}_topk_classes"][:take])))
             all_props.append(np.asarray(out[pkey][:take]))
 
-        scores = np.concatenate(all_scores).reshape(-1,
-                                                    all_scores[0].shape[-1])
         props = np.concatenate(all_props).reshape(-1, 2)
         vids = np.asarray(["__video__"] * len(props), object)
-        cands = threshold_predictions(vids, props, scores, score_threshold)
+        if self.top_k is None:
+            scores = np.concatenate(all_scores).reshape(
+                -1, all_scores[0].shape[-1])
+            cands = threshold_predictions(vids, props, scores,
+                                          score_threshold)
+        else:
+            vals = np.concatenate([v for v, _ in all_scores]).reshape(
+                -1, all_scores[0][0].shape[-1])
+            classes = np.concatenate([c for _, c in all_scores]).reshape(
+                -1, all_scores[0][1].shape[-1])
+            cands = threshold_predictions_topk(
+                vids, props, vals, classes,
+                score_threshold=score_threshold)
         dets = nms_per_video(cands, iou_threshold=nms_iou, sigma=nms_sigma)
         if "__video__" not in dets:
             return {"segments": np.zeros((0, 2), np.float32),
