@@ -100,8 +100,11 @@ def test_converter_strips_ddp_wrapper_prefix():
     oracle = torch_oracle.OracleRecognitionAV(16, 12, 16, 2, 1, ((5, 6, 4), 3))
     sd = {k: v for k, v in oracle.state_dict().items()}
     wrapped = {f"module.{k}": v for k, v in sd.items()}
+    nested = {f"module._orig_mod.{k}": v for k, v in sd.items()}
     bare = recognition_params_from_torch(sd, d_model=16, num_layers=1)
     conv = recognition_params_from_torch(wrapped, d_model=16, num_layers=1)
-    for a, b in zip(jax.tree_util.tree_leaves(bare),
-                    jax.tree_util.tree_leaves(conv)):
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    conv2 = recognition_params_from_torch(nested, d_model=16, num_layers=1)
+    for tree in (conv, conv2):
+        for a, b in zip(jax.tree_util.tree_leaves(bare),
+                        jax.tree_util.tree_leaves(tree)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

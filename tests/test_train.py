@@ -305,9 +305,17 @@ def test_orbax_checkpoint_roundtrip_and_sharded_restore(tmp_path):
     state = create_train_state(
         jax.tree_util.tree_map(jnp.asarray, params), tx, normaliser=5.0)
 
+    # save params while SHARDED on the mesh (the orbax path hands
+    # jax.Arrays straight through — no host-unsharded copies)
+    mesh0 = make_mesh(8, 1)
+    from tim_tpu.parallel import shard_train_state
+    state = shard_train_state(state, mesh0)
     ckpt.save_checkpoint_orbax(str(tmp_path), state, epoch=1)
-    c = ckpt.save_checkpoint_orbax(str(tmp_path), state, epoch=3,
+    c = ckpt.save_checkpoint_orbax(str(tmp_path), state, epoch=2,
                                    wait=False)
+    # reusing the returned checkpointer serializes consecutive saves
+    c = ckpt.save_checkpoint_orbax(str(tmp_path), state, epoch=3,
+                                   wait=False, ckptr=c)
     c.wait_until_finished()
 
     payload = ckpt.load_checkpoint_orbax(str(tmp_path))   # latest == 3

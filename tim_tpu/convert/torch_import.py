@@ -37,9 +37,13 @@ def _strip_wrapper(sd: Mapping) -> Mapping:
     The reference saves ``model.module.state_dict()`` for multi-GPU runs
     (``recognition/scripts/train.py:139``) so released files should be
     bare, but files saved from a wrapped model still convert."""
-    for prefix in ("module.", "_orig_mod."):
-        if sd and all(k.startswith(prefix) for k in sd):
-            return {k[len(prefix):]: v for k, v in sd.items()}
+    changed = True
+    while changed and sd:
+        changed = False
+        for prefix in ("module.", "_orig_mod."):
+            if all(k.startswith(prefix) for k in sd):
+                sd = {k[len(prefix):]: v for k, v in sd.items()}
+                changed = True
     return sd
 
 

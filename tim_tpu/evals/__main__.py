@@ -136,8 +136,11 @@ def main(argv=None):
         task=args.task, challenge=challenge,
         challenge_json_path=args.challenge_json or None,
         num_nouns=args.noun_count)
-    num_classes = (int(scores.shape[-1]) if not isinstance(scores, tuple)
-                   else int(np.max(scores[1])) + 1)  # top-k: lower bound
+    if not isinstance(scores, tuple):
+        num_classes = int(scores.shape[-1])
+    else:  # top-k: max referenced class id is a lower bound
+        num_classes = (int(np.max(scores[1])) + 1 if scores[1].size
+                       else 1)
     validate_submission(submission, task=args.task,
                         num_classes=num_classes)
 

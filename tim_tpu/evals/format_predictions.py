@@ -20,6 +20,33 @@ from tim_tpu.evals.anet import DetectionEvaluator
 from tim_tpu.evals.nms import batched_nms
 
 
+def _build_candidates(video_ids, proposals, row_fn, score_threshold):
+    """Shared candidate-collection scaffolding: ``row_fn(i)`` returns the
+    (scores_row, labels_row) pair to threshold for valid-length proposal
+    ``i`` (``format_predictions_epic.py:124-141``)."""
+    proposals = np.round(np.asarray(proposals, np.float64), 3)
+    out: Dict[str, Dict[str, List]] = {}
+    valid_len = proposals[:, 1] - proposals[:, 0] > 0.0
+    for i in np.flatnonzero(valid_len):
+        scores_row, labels_row = row_fn(i)
+        sel = np.flatnonzero(scores_row > score_threshold)
+        if sel.size == 0:
+            continue
+        vid = str(video_ids[i])
+        entry = out.setdefault(vid, {"segments": [], "scores": [],
+                                     "labels": []})
+        entry["segments"].extend([proposals[i]] * sel.size)
+        entry["scores"].extend(scores_row[sel].tolist())
+        entry["labels"].extend(labels_row[sel].tolist())
+    return {
+        vid: {
+            "segments": np.asarray(e["segments"], np.float32).reshape(-1, 2),
+            "scores": np.asarray(e["scores"], np.float32),
+            "labels": np.asarray(e["labels"], np.int64),
+        } for vid, e in out.items()
+    }
+
+
 def threshold_predictions(
     video_ids: np.ndarray,        # [N] str
     proposals: np.ndarray,        # [N, 2] video-time segments
@@ -29,26 +56,10 @@ def threshold_predictions(
     """Per-video candidate lists: every (proposal, class) pair whose score
     clears the threshold (``format_predictions_epic.py:124-141``).
     Zero/negative-length proposals are dropped."""
-    proposals = np.round(np.asarray(proposals, np.float64), 3)
-    out: Dict[str, Dict[str, List]] = {}
-    valid_len = proposals[:, 1] - proposals[:, 0] > 0.0
-    for i in np.flatnonzero(valid_len):
-        cls = np.flatnonzero(scores[i] > score_threshold)
-        if cls.size == 0:
-            continue
-        vid = str(video_ids[i])
-        entry = out.setdefault(vid, {"segments": [], "scores": [],
-                                     "labels": []})
-        entry["segments"].extend([proposals[i]] * cls.size)
-        entry["scores"].extend(scores[i, cls].tolist())
-        entry["labels"].extend(cls.tolist())
-    return {
-        vid: {
-            "segments": np.asarray(e["segments"], np.float32).reshape(-1, 2),
-            "scores": np.asarray(e["scores"], np.float32),
-            "labels": np.asarray(e["labels"], np.int64),
-        } for vid, e in out.items()
-    }
+    labels = np.arange(np.asarray(scores).shape[-1])
+    return _build_candidates(video_ids, proposals,
+                             lambda i: (scores[i], labels),
+                             score_threshold)
 
 
 def threshold_predictions_topk(
@@ -57,41 +68,31 @@ def threshold_predictions_topk(
     topk_values: np.ndarray,      # [N, k] sorted descending
     topk_classes: np.ndarray,     # [N, k] int
     score_threshold: float = 0.03,
+    num_classes: Optional[int] = None,
 ) -> Dict[str, Dict[str, np.ndarray]]:
     """``threshold_predictions`` over a device-side top-k dump instead of
     the dense [N, C] matrix. Identical candidates whenever every class
-    above the threshold fits in k; rows where even the k-th score clears
-    the threshold may be truncated — counted and warned."""
+    above the threshold fits in k; valid-length rows where even the k-th
+    score clears the threshold may be truncated — counted and warned
+    (skipped when ``num_classes`` shows k covers every class)."""
     import logging
 
-    proposals = np.round(np.asarray(proposals, np.float64), 3)
     topk_values = np.asarray(topk_values)
-    saturated = int((topk_values[:, -1] > score_threshold).sum())
-    if saturated:
-        logging.getLogger(__name__).warning(
-            "top-k dump may truncate %d / %d proposals (k-th score above "
-            "the %.3g threshold) — raise top_k", saturated,
-            len(topk_values), score_threshold)
-    out: Dict[str, Dict[str, List]] = {}
-    valid_len = proposals[:, 1] - proposals[:, 0] > 0.0
-    for i in np.flatnonzero(valid_len):
-        sel = np.flatnonzero(topk_values[i] > score_threshold)
-        if sel.size == 0:
-            continue
-        vid = str(video_ids[i])
-        entry = out.setdefault(vid, {"segments": [], "scores": [],
-                                     "labels": []})
-        entry["segments"].extend([proposals[i]] * sel.size)
-        entry["scores"].extend(topk_values[i, sel].tolist())
-        entry["labels"].extend(
-            np.asarray(topk_classes)[i, sel].tolist())
-    return {
-        vid: {
-            "segments": np.asarray(e["segments"], np.float32).reshape(-1, 2),
-            "scores": np.asarray(e["scores"], np.float32),
-            "labels": np.asarray(e["labels"], np.int64),
-        } for vid, e in out.items()
-    }
+    topk_classes = np.asarray(topk_classes)
+    k = topk_values.shape[-1]
+    if num_classes is None or k < num_classes:
+        props = np.asarray(proposals, np.float64)
+        valid_len = props[:, 1] - props[:, 0] > 0.0
+        saturated = int(
+            (topk_values[valid_len, -1] > score_threshold).sum())
+        if saturated:
+            logging.getLogger(__name__).warning(
+                "top-k dump may truncate %d / %d proposals (k-th score "
+                "above the %.3g threshold) — raise top_k", saturated,
+                int(valid_len.sum()), score_threshold)
+    return _build_candidates(video_ids, proposals,
+                             lambda i: (topk_values[i], topk_classes[i]),
+                             score_threshold)
 
 
 def nms_per_video(

@@ -35,14 +35,7 @@ def save_checkpoint(
     the reference's best_<axis>.pyth naming scheme, ``checkpoint.py:53-71``).
     """
     os.makedirs(path, exist_ok=True)
-    payload = {
-        "epoch": epoch,
-        "step": np.asarray(state.step),
-        "params": _to_host(state.params),
-        "opt_state": serialization.to_state_dict(_to_host(state.opt_state)),
-        "normaliser": np.asarray(state.normaliser),
-        "extra": extra or {},
-    }
+    payload = _state_payload(state, epoch, extra, host=True)
     blob = serialization.msgpack_serialize(payload)
     fname = os.path.join(path, "checkpoint.msgpack")
     with open(fname, "wb") as f:
@@ -69,12 +62,17 @@ def load_checkpoint(path: str) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 
-def _state_payload(state, epoch: int, extra):
+def _state_payload(state, epoch: int, extra, *, host: bool):
+    """``host=True`` materializes numpy copies (msgpack). ``host=False``
+    keeps (possibly sharded) jax.Arrays — orbax writes each host's
+    addressable shards directly, so multi-host-sharded params save
+    without ever assembling an unsharded copy."""
+    conv = _to_host if host else (lambda t: t)
     return {
         "epoch": np.asarray(epoch),
         "step": np.asarray(state.step),
-        "params": _to_host(state.params),
-        "opt_state": serialization.to_state_dict(_to_host(state.opt_state)),
+        "params": conv(state.params),
+        "opt_state": serialization.to_state_dict(conv(state.opt_state)),
         "normaliser": np.asarray(state.normaliser),
         "extra": extra or {},
     }
@@ -82,19 +80,25 @@ def _state_payload(state, epoch: int, extra):
 
 def save_checkpoint_orbax(path: str, state, *, epoch: int = 0,
                           extra: Optional[Dict[str, Any]] = None,
-                          wait: bool = True):
+                          wait: bool = True, ckptr=None):
     """Write ``<path>/orbax/<epoch>`` with orbax. ``wait=False`` saves
-    asynchronously (training continues while the host writes); call
-    ``.wait_until_finished()`` on the returned checkpointer — or pass
-    the same instance to the next save, which blocks on the previous
-    one. Multi-host runs coordinate automatically once
-    ``jax.distributed`` is initialized."""
+    asynchronously (training continues while the host writes) — pass the
+    RETURNED checkpointer back as ``ckptr`` on the next save so
+    consecutive saves serialize (orbax blocks a new save until the same
+    instance's previous one commits), and call
+    ``.wait_until_finished()`` after the last save. Params are handed
+    to orbax as-is: sharded (even multi-host-sharded) arrays save each
+    host's addressable shards without assembling unsharded copies.
+    Multi-host runs coordinate automatically once ``jax.distributed``
+    is initialized."""
     import orbax.checkpoint as ocp
 
-    ckptr = (ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
-             if not wait else ocp.StandardCheckpointer())
+    if ckptr is None:
+        ckptr = (ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+                 if not wait else ocp.StandardCheckpointer())
     target = os.path.join(os.path.abspath(path), "orbax", str(epoch))
-    ckptr.save(target, _state_payload(state, epoch, extra), force=True)
+    ckptr.save(target, _state_payload(state, epoch, extra, host=False),
+               force=True)
     if wait:
         ckptr.wait_until_finished()
     return ckptr
@@ -136,8 +140,7 @@ def load_checkpoint_orbax(path: str, epoch: Optional[int] = None,
             return leaf
         sharding = (flat_sh.get(keys[1:])
                     if keys and keys[0] == "params" else None)
-        return jax.ShapeDtypeStruct(tuple(leaf.shape),
-                                    np.dtype(str(leaf.dtype)),
+        return jax.ShapeDtypeStruct(tuple(leaf.shape), leaf.dtype,
                                     sharding=sharding)
 
     target = jax.tree_util.tree_map_with_path(abstractify, meta)
