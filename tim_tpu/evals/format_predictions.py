@@ -331,6 +331,7 @@ def evaluate_detections(
     challenge: str = "action_detection",
     challenge_json_path: Optional[str] = None,
     num_nouns: int = 300,
+    topk_num_classes: Optional[int] = None,
 ):
     """Full pipeline: dense dump -> mAP. Returns (mAP per tIoU, avg mAP,
     submission dict). ``challenge_json_path`` additionally writes the
@@ -340,7 +341,8 @@ def evaluate_detections(
     if isinstance(scores, tuple):
         cands = threshold_predictions_topk(
             video_ids, proposals, *scores,
-            score_threshold=score_threshold)
+            score_threshold=score_threshold,
+            num_classes=topk_num_classes)
     else:
         cands = threshold_predictions(video_ids, proposals, scores,
                                       score_threshold)

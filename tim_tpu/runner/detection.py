@@ -494,6 +494,11 @@ class DetectionRunner:
         sc = (dump[score_key] if top_k is None else
               (dump[f"{score_key}_topk_values"],
                dump[f"{score_key}_topk_classes"]))
+        if top_k is not None:
+            eval_kwargs.setdefault(
+                "topk_num_classes",
+                self.cfg.audio_classes if score_key == "audio"
+                else self.cfg.visual_classes[-1])
         return evaluate_detections(
             dump["video_ids"], dump[proposals_key], sc,
             gt_columns, task=task, **eval_kwargs)
