@@ -82,10 +82,16 @@ def test_detection_int8_mAP_delta(det_bundle):
     b, cfg, runner = det_bundle
     params = jax.device_get(runner.state.params)
 
+    import dataclasses
+
     servers = {
         "fp32": DetectionServer(cfg, params, **_serve_kwargs()),
         "int8": DetectionServer.quantized(cfg, params, [None],
                                           **_serve_kwargs()),
+        # the bench headline config: int8 static + bf16 scores
+        "headline": DetectionServer.quantized(
+            dataclasses.replace(cfg, fast_scores=True), params, [None],
+            **_serve_kwargs()),
     }
     gt = b["v_actions"]
     from tim_tpu.data.windows import timestamp_to_seconds
@@ -127,9 +133,11 @@ def test_detection_int8_mAP_delta(det_bundle):
     n_dets = sum(len(agreements[0][vid]["scores"])
                  for vid in b["durations"])
     assert n_dets >= 10, f"fp32 produced only {n_dets} detections"
-    delta = abs(maps["int8"] - maps["fp32"])
-    # documented serving contract: |delta avg mAP| <= 0.02 absolute
-    assert delta <= 0.02, f"int8 mAP delta {delta:.4f} (maps {maps})"
+    # documented serving contract: |delta avg mAP| <= 0.02 absolute,
+    # for int8 alone AND for the headline int8+bf16-scores combo
+    for tag in ("int8", "headline"):
+        delta = abs(maps[tag] - maps["fp32"])
+        assert delta <= 0.02, f"{tag} mAP delta {delta:.4f} (maps {maps})"
 
     # detection-level agreement: top-scoring segments overlap
     for vid in b["durations"]:
