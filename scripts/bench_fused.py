@@ -72,17 +72,21 @@ def main():
 
     base_wps = measure(base, "unfused bf16")
     for blk in [int(a) for a in sys.argv[1:]] or [512]:
+        import functools
+
+        import tim_tpu.models.transformer as tr
         import tim_tpu.ops.pallas_fused as pf
-        # rebind default block size for this run
+        # rebind the call-site default for THIS block size only, and
+        # restore afterwards (a stale patch would silently mislabel the
+        # next block's measurement)
         fcfg = dataclasses.replace(base, use_fused_ffn=True)
-        orig = pf.fused_post_attention
-        if blk != 512:
-            import functools
-            pf_fn = functools.partial(orig, block_rows=blk)
-            # patch call site default via wrapper
-            import tim_tpu.models.transformer as tr
-            tr.fused_post_attention = pf_fn
-        wps = measure(fcfg, f"fused blk={blk}")
+        orig = tr.fused_post_attention
+        tr.fused_post_attention = functools.partial(
+            pf.fused_post_attention, block_rows=blk)
+        try:
+            wps = measure(fcfg, f"fused blk={blk}")
+        finally:
+            tr.fused_post_attention = orig
         print(f"[bench_fused] fused/unfused = {wps / base_wps:.3f}",
               flush=True)
 

@@ -265,3 +265,21 @@ def test_record_clip_bounds_short_record_rule():
     # exact boundary: record == clip size is NOT short
     sb, eb = A.record_clip_bounds(100, 100 + 23976, 23976, 1, 3)
     assert (sb, eb) == (100, 100 + 23975)
+
+
+def test_random_erasing_per_frame_independent():
+    """per_frame=True (the finetune recipe): each frame rolls its own
+    probability and region, like timm's batched RandomErasing."""
+    import random as pyrandom
+    frames = np.full((16, 32, 32, 3), 100, np.uint8)
+    out = aug.random_erasing(frames, probability=0.5, per_frame=True,
+                             rng=pyrandom.Random(3))
+    changed = (out != frames).any(-1)            # [T, H, W]
+    per_frame_any = changed.any((1, 2))
+    # some frames erased, some untouched (p=0.5 over 16 frames)
+    assert 0 < per_frame_any.sum() < 16
+    # erased regions differ between (at least some) erased frames
+    idx = np.flatnonzero(per_frame_any)
+    if len(idx) >= 2:
+        masks = [changed[i] for i in idx]
+        assert any(not np.array_equal(masks[0], m) for m in masks[1:])

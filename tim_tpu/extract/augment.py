@@ -116,36 +116,42 @@ def random_erasing(
 ) -> np.ndarray:
     """Cutout-style random erasing with per-pixel gaussian fill (timm
     'pixel' mode, used by the VideoMAE finetuning recipe,
-    ``VideoMAE/random_erasing.py``). With ``per_frame=False`` one region is
-    erased consistently across the clip. ``normalized=True`` fills with
-    N(0, 1) and skips the [0, 255] clamp — the reference applies erasing
-    AFTER ImageNet normalization (``ek100.py:253-264``)."""
+    ``VideoMAE/random_erasing.py``). ``per_frame=True`` matches timm's
+    batched call on a [T, C, H, W] clip: every frame rolls probability,
+    region, and fill independently (the reference erases AFTER ImageNet
+    normalization, ``ek100.py:253-264``, so pass ``normalized=True``
+    there). ``per_frame=False`` keeps one roll + one region for the
+    whole clip."""
     rng = rng or random
-    if rng.random() >= probability:
-        return frames
     out = frames.copy()
     t, h, w, c = out.shape
-    for _ in range(10):
-        area = rng.uniform(*area_range) * h * w
-        log_aspect = (np.log(aspect_range[0]), np.log(aspect_range[1]))
-        aspect = np.exp(rng.uniform(*log_aspect))
-        eh = int(round(np.sqrt(area * aspect)))
-        ew = int(round(np.sqrt(area / aspect)))
-        if eh < h and ew < w and eh > 0 and ew > 0:
-            top = rng.randrange(0, h - eh)
-            left = rng.randrange(0, w - ew)
-            np_rng = np.random.default_rng(rng.randrange(2 ** 31))
+    log_aspect = (np.log(aspect_range[0]), np.log(aspect_range[1]))
+    np_rng = None
 
-            def fill(shape):
-                noise = np_rng.normal(size=shape)
-                return noise if normalized else noise * 50 + 128
+    def erase_one(view):
+        nonlocal np_rng
+        for _ in range(10):
+            area = rng.uniform(*area_range) * h * w
+            aspect = np.exp(rng.uniform(*log_aspect))
+            eh = int(round(np.sqrt(area * aspect)))
+            ew = int(round(np.sqrt(area / aspect)))
+            if eh < h and ew < w and eh > 0 and ew > 0:
+                top = rng.randrange(0, h - eh)
+                left = rng.randrange(0, w - ew)
+                if np_rng is None:
+                    np_rng = np.random.default_rng(rng.randrange(2 ** 31))
+                noise = np_rng.normal(size=(eh, ew, c))
+                view[..., top:top + eh, left:left + ew, :] = (
+                    noise if normalized else noise * 50 + 128)
+                return
 
-            if per_frame:
-                for f in range(t):
-                    out[f, top:top + eh, left:left + ew] = fill((eh, ew, c))
-            else:
-                out[:, top:top + eh, left:left + ew] = fill((eh, ew, c))
-            break
+    if per_frame:
+        for f in range(t):
+            if rng.random() < probability:
+                erase_one(out[f])
+    else:
+        if rng.random() < probability:
+            erase_one(out)
     if normalized:
         return out.astype(frames.dtype)
     return np.clip(out, 0, 255).astype(frames.dtype)

@@ -114,9 +114,21 @@ def random_resized_crop(frames: np.ndarray, size: int,
                 cv2.resize(f, (size, size),
                            interpolation=cv2.INTER_LINEAR)
                 for f in crop])
+    # torchvision fallback: clamp to the nearest valid aspect ratio,
+    # then center crop (not necessarily square before the resize)
+    in_ratio = w / h
+    if in_ratio < ratio[0]:
+        cw, ch = w, min(h, int(round(w / ratio[0])))
+    elif in_ratio > ratio[1]:
+        cw, ch = min(w, int(round(h * ratio[1]))), h
+    else:
+        cw, ch = w, h
+    top = (h - ch) // 2
+    left = (w - cw) // 2
+    crop = frames[:, top:top + ch, left:left + cw]
     return np.stack([cv2.resize(f, (size, size),
                                 interpolation=cv2.INTER_LINEAR)
-                     for f in center_crop(frames, min(h, w))])
+                     for f in crop])
 
 
 def normalize(frames: np.ndarray) -> np.ndarray:
@@ -230,8 +242,10 @@ class EK100ClipDataset:
             import random as _random
             r = _random.Random(int(self.rng.integers(2 ** 31)))
             # the reference erases AFTER normalization with N(0,1) fill
+            # the reference erases each frame independently (timm
+            # RandomErasing on the [T, C, H, W] clip)
             clip = random_erasing(clip, probability=self.reprob,
-                                  normalized=True, rng=r)
+                                  normalized=True, per_frame=True, rng=r)
         return np.ascontiguousarray(clip, np.float32)
 
     def __getitem__(self, index: int) -> Dict[str, np.ndarray]:

@@ -84,8 +84,12 @@ def main(argv=None):
 
     args.output_dir.mkdir(parents=True, exist_ok=True)
     if args.mode == "pretrain":
+        # pretraining wants randomly-sampled, randomly-cropped clips but
+        # NOT the finetune-only RandAugment/RandomErasing (the reference
+        # pretrain transform is multi-scale crop + flip only)
         train_ds = EK100ClipDataset(
-            anno_train, reader, mode="validation", **common)
+            anno_train, reader, mode="train", num_sample=1, reprob=0.0,
+            rand_augment=lambda frames: frames, **common)
         runner = BackbonePretrainRunner(
             PretrainVideoMAE(**vit_kw), train_ds,
             mask_ratio=args.mask_ratio, batch_size=args.batch_size,

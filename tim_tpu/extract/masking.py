@@ -92,9 +92,10 @@ class TemporalProgressiveMasking:
 
 
 class TemporalCenteringProgressiveMasking:
-    """Keep-count peaks at the clip boundaries and bottoms at the center
+    """Keep-count bottoms at the clip boundaries and peaks at the center
     frames (``TemporalCenteringProgressiveMaskingGenerator``,
-    ``masking_generator.py:208-235``: a reversed + forward linspace)."""
+    ``masking_generator.py:208-235``: a reversed + forward linspace,
+    so min_keep sits at both ends and max_keep in the middle)."""
 
     def __init__(self, input_size: Tuple[int, int, int], mask_ratio: float):
         self.frames, self.height, self.width = input_size

@@ -132,8 +132,17 @@ def host_local_rows(x) -> np.ndarray:
     contributed via ``shard_batch``). Single-process: the whole array."""
     if jax.process_count() == 1:
         return np.asarray(x)
-    shards = sorted(x.addressable_shards,
-                    key=lambda s: s.index[0].start or 0)
+    # outputs replicated over the model axis expose duplicate shards
+    # (same index) — keep one copy per distinct row range
+    seen = set()
+    shards = []
+    for sh in x.addressable_shards:
+        key = tuple((sl.start, sl.stop) for sl in sh.index)
+        if key in seen:
+            continue
+        seen.add(key)
+        shards.append(sh)
+    shards.sort(key=lambda s: s.index[0].start or 0)
     return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
 
 

@@ -88,12 +88,15 @@ def make_two_head_step(model: TwoHeadViT, *, mixup_alpha: float = 0.8,
 
 
 def _batches(dataset, batch_size: int, rng: np.random.Generator,
-             shuffle: bool = True):
+             shuffle: bool = True, drop_last: bool = True):
     order = np.arange(len(dataset))
     if shuffle:
         rng.shuffle(order)
-    for i in range(0, len(order) - batch_size + 1, batch_size):
-        examples = [dataset[int(j)] for j in order[i:i + batch_size]]
+    for i in range(0, len(order), batch_size):
+        chunk = order[i:i + batch_size]
+        if len(chunk) < batch_size and drop_last:
+            return
+        examples = [dataset[int(j)] for j in chunk]
         batch = {k: np.stack([e[k] for e in examples])
                  for k in examples[0]}
         if batch["video"].ndim == 6:     # [B, num_sample, T, H, W, 3]
@@ -187,7 +190,8 @@ class BackboneFinetuneRunner:
 
         n = v_ok = n_ok = 0
         for batch in _batches(self.val_ds, self.batch_size,
-                              np.random.default_rng(0), shuffle=False):
+                              np.random.default_rng(0), shuffle=False,
+                              drop_last=False):
             lv, ln_ = fwd(self.state.params, jnp.asarray(batch["video"]))
             v_ok += int((np.argmax(lv, -1) == batch["verb"]).sum())
             n_ok += int((np.argmax(ln_, -1) == batch["noun"]).sum())

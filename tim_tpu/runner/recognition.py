@@ -484,11 +484,14 @@ class RecognitionRunner:
             final_stats = stats
             is_best = self._best_tag(stats, epoch)
             if self.output_dir:
-                ckpt.save_checkpoint(
-                    self.output_dir, self.state, epoch=epoch + 1,
-                    extra={"val_stats": {k: float(v)
-                                         for k, v in stats.items()}},
-                    is_best=is_best)
+                if jax.process_index() == 0:
+                    # master-only write: concurrent multi-host writers
+                    # would tear the shared checkpoint file
+                    ckpt.save_checkpoint(
+                        self.output_dir, self.state, epoch=epoch + 1,
+                        extra={"val_stats": {k: float(v)
+                                             for k, v in stats.items()}},
+                        is_best=is_best)
             if (self.tcfg.early_stop_period > 0 and
                     epoch - self.last_best_epoch >
                     self.tcfg.early_stop_period):
