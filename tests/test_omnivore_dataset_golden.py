@@ -97,16 +97,20 @@ def _cfg(tmp_path, crop, num_frames, num_features, use_ra):
     )
 
 
-@pytest.mark.parametrize("use_ra", [False, True])
+@pytest.mark.parametrize("use_ra,h,w", [
+    (False, 80, 100), (True, 80, 100),
+    (False, 100, 72),   # portrait: height-based scale != short side,
+                        # exercises the uniform_crop portrait branch
+])
 def test_epickitchens_getitem_matches_our_pipeline(
-        ref_epickitchens, tmp_path, use_ra):
+        ref_epickitchens, tmp_path, use_ra, h, w):
     pd = pytest.importorskip("pandas")
 
     from tim_tpu.extract.autoaug import omnivore_clip_augment
     from tim_tpu.extract.pipeline import (
         omnivore_frame_indices, omnivore_test_transform)
 
-    crop, num_frames, h, w = 64, 8, 80, 100
+    crop, num_frames = 64, 8
     n_video_frames = 60
     frames_dir = _write_video_frames(
         tmp_path / "frames", "P01", "P01_101", n_video_frames, h, w, 7)
