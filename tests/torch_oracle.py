@@ -1,11 +1,13 @@
-"""Torch oracle for parity tests.
+"""Torch oracle for parity tests — FAST PROXY ONLY.
 
-Builds eval-mode torch models that are mathematically and *state-dict-key*
-equivalent to the reference TIM (``recognition/.../models/tim.py``,
-``detection/.../models/tim.py``), so the converter
-(``tim_tpu/convert/torch_import.py``) and the flax model can be verified
-jointly: random torch weights -> convert -> flax forward must match the
-torch forward. Dropout modules are omitted (eval-mode no-ops, no params).
+The authoritative parity oracle is the *actual reference code* executed
+in-process: see ``tests/test_reference_model_golden.py``, which imports
+``recognition/.../models/tim.py`` and ``detection/.../models/tim.py``
+directly and checks forward logits, query labeling, and gradients through
+the converter. This module remains as a cheap state-dict-key-equivalent
+transcription used by quick unit tests (attention/quant/serve) that don't
+want the sys.modules sandbox. Dropout modules are omitted (eval-mode
+no-ops, no params).
 """
 
 import math
