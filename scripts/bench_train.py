@@ -120,6 +120,35 @@ def bench_detection(batch_size=32, iters=10):
           f"XLA {fl / batch_size / 1e9:.1f} GFLOP/window -> "
           f"{wps * fl / batch_size / 1e12:.1f} TF/s achieved")
 
+    # forward/backward attribution: the val step is the same forward +
+    # losses without grad/update (dropout off, fixed grid — same query
+    # count); t_train - t_val ~ backward + optimizer cost
+    val = det_train.make_val_step(model, cfg, tcfg)
+
+    @jax.jit
+    def val_run(state, batch):
+        def body(i, carry):
+            m = val(state, batch)
+            return carry + m["loss"] * 1e-9
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    vc = val_run.lower(state, batch).compile()
+    try:
+        vfl = float(vc.cost_analysis()["flops"]) / iters
+    except Exception:
+        vfl = float("nan")
+    float(vc(state, batch))
+    t0 = time.perf_counter()
+    float(vc(state, batch))
+    vdt = time.perf_counter() - t0
+    fwd_ms = vdt / iters * 1e3
+    full_ms = dt / iters * 1e3
+    print(f"  attribution: forward+loss {fwd_ms:.1f} ms "
+          f"({vfl / batch_size / 1e9:.1f} GFLOP/win, "
+          f"{batch_size * iters / vdt * vfl / batch_size / 1e12:.1f} "
+          f"TF/s) | backward+opt {full_ms - fwd_ms:.1f} ms "
+          f"({(full_ms - fwd_ms) / fwd_ms:.2f}x the forward)")
+
 
 if __name__ == "__main__":
     args = sys.argv[1:]

@@ -16,6 +16,7 @@ import pytest
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(ROOT, "tests", "multihost_worker.py")
+DET_WORKER = os.path.join(ROOT, "tests", "multihost_det_worker.py")
 
 
 def _free_port() -> int:
@@ -26,21 +27,21 @@ def _free_port() -> int:
     return port
 
 
-def _run(nproc: int, tmp_path) -> dict:
-    out = tmp_path / f"stats_{nproc}.json"
+def _run(nproc: int, tmp_path, worker=WORKER) -> dict:
+    out = tmp_path / f"stats_{os.path.basename(worker)}_{nproc}.json"
     port = _free_port()
     env = dict(os.environ, PYTHONPATH=ROOT)
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(nproc), str(pid), str(port),
+            [sys.executable, worker, str(nproc), str(pid), str(port),
              str(out)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for pid in range(nproc)
     ]
     logs = []
     for p in procs:
-        stdout, _ = p.communicate(timeout=600)
+        stdout, _ = p.communicate(timeout=1500)
         logs.append(stdout.decode())
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log}"
@@ -73,3 +74,28 @@ def test_two_process_training_matches_single(tmp_path):
             np.testing.assert_allclose(
                 double[k], single[k], rtol=5e-3,
                 err_msg=f"loss {k} diverged 1- vs 2-process")
+
+
+@pytest.mark.slow
+def test_two_process_detection_matches_single(tmp_path):
+    """Detection: 2-process training losses and the assembled dense
+    top-k dump must match the single-process run (the dump is
+    allgathered + deduped + window-ordered across hosts)."""
+    single = _run(1, tmp_path, worker=DET_WORKER)
+    double = _run(2, tmp_path, worker=DET_WORKER)
+
+    assert double["process_count"] == 2
+    assert double["device_count"] == 4
+    assert double["n_rows"] == single["n_rows"]
+    np.testing.assert_allclose(
+        double["action_topk_digest"], single["action_topk_digest"],
+        atol=1e-5, err_msg="dense top-k dump diverged 1- vs 2-process")
+    np.testing.assert_allclose(double["proposals_sum"],
+                               single["proposals_sum"], rtol=1e-5)
+    np.testing.assert_allclose(double["action_topk_mean"],
+                               single["action_topk_mean"], rtol=1e-5)
+    for k in sorted(single):
+        if k.startswith(("pre_loss", "post_loss")):
+            np.testing.assert_allclose(
+                double[k], single[k], rtol=5e-3,
+                err_msg=f"{k} diverged 1- vs 2-process")

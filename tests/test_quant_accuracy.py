@@ -63,7 +63,10 @@ def det_bundle():
         visual_input_dim=24, audio_input_dim=16, d_model=16, nhead=2,
         num_layers=2, num_feats=num_feats, compute_dtype="float32",
         train_query_size=0.05, inference_query_size=0.1)
-    tcfg = C.TrainConfig(batch_size=8, epochs=6, warmup_epochs=0, lr=2e-3,
+    # 10 epochs @ 3e-3 lands fp32 avg-mAP ~0.105 with measured int8 /
+    # headline relative deltas of 0.4% / 1.9% (deterministic seeds) —
+    # strong enough that the 2%-relative contract below is meaningful
+    tcfg = C.TrainConfig(batch_size=8, epochs=10, warmup_epochs=0, lr=3e-3,
                          lambda_drloc=0.0, normaliser_init=30.0,
                          mixup_alpha=0.0)
     runner = DetectionRunner(cfg, tcfg, ds, ds, print_freq=50)
@@ -133,11 +136,17 @@ def test_detection_int8_mAP_delta(det_bundle):
     n_dets = sum(len(agreements[0][vid]["scores"])
                  for vid in b["durations"])
     assert n_dets >= 10, f"fp32 produced only {n_dets} detections"
-    # documented serving contract: |delta avg mAP| <= 0.02 absolute,
-    # for int8 alone AND for the headline int8+bf16-scores combo
+    # ... and a non-trivial mAP so a RELATIVE bound means something
+    assert maps["fp32"] >= 0.08, f"fp32 avg mAP too low: {maps}"
+    # documented serving contract: avg-mAP degradation <= 2% RELATIVE
+    # (with a 0.005 absolute noise floor), for int8 alone AND for the
+    # headline int8+bf16-scores combo. The old |delta| <= 0.02 absolute
+    # bound would wave through ~10% relative damage at EPIC's ~0.2 mAP.
     for tag in ("int8", "headline"):
         delta = abs(maps[tag] - maps["fp32"])
-        assert delta <= 0.02, f"{tag} mAP delta {delta:.4f} (maps {maps})"
+        bound = max(0.02 * maps["fp32"], 0.005)
+        assert delta <= bound, (
+            f"{tag} mAP delta {delta:.4f} > {bound:.4f} (maps {maps})")
 
     # detection-level agreement: top-scoring segments overlap
     for vid in b["durations"]:

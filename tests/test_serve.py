@@ -79,6 +79,53 @@ def test_detect_video_end_to_end():
         assert dets["labels"].max() < 4
 
 
+def test_detect_video_media_matches_feature_path():
+    """Raw-media serving entry: extractor-produced banks must yield the
+    identical detections as pre-extracted features."""
+    cfg = C.DetectionConfig(
+        visual_classes=(4,), audio_classes=3,
+        visual_input_dim=16, audio_input_dim=12, d_model=16, nhead=2,
+        num_layers=1, num_feats=6, compute_dtype="float32",
+        inference_query_size=0.2)
+    nq = generate_query_pyramid(cfg.inference_query_size).shape[0]
+    model = TimDetection(cfg)
+    rng = jax.random.PRNGKey(0)
+    t_dummy = jnp.zeros((1, 12 + 2 * nq, 2))
+    params = model.init(
+        {"params": rng, "dropout": rng}, jnp.zeros((1, 6, 16)),
+        jnp.zeros((1, 6, 12)), t_dummy, nq, nq,
+        deterministic=True)["params"]
+    server = DetectionServer(cfg, params, feat_stride=2, feat_gap=0.2,
+                             batch_size=4)
+
+    duration = 20.0
+    nfeat = 95
+    starts = np.linspace(0, duration - 1.1, nfeat).astype(np.float32)
+    feat_times = np.stack([starts, starts + 1.1], -1)
+    rnd = np.random.default_rng(1)
+    clips = rnd.normal(size=(nfeat, 4, 8, 8, 3)).astype(np.float32)
+    specs = rnd.normal(size=(nfeat, 16, 8)).astype(np.float32)
+    wv = jnp.asarray(rnd.normal(size=(4 * 8 * 8 * 3, 16)) * 0.05,
+                     jnp.float32)
+    wa = jnp.asarray(rnd.normal(size=(16 * 8, 12)) * 0.05, jnp.float32)
+    vx = jax.jit(lambda c: jnp.dot(c.reshape(c.shape[0], -1), wv))
+    ax = jax.jit(lambda s: jnp.dot(s.reshape(s.shape[0], -1), wa))
+
+    media = server.detect_video_media(
+        clips, specs, feat_times, duration,
+        visual_extractor=vx, audio_extractor=ax, extract_batch=16,
+        score_threshold=0.01)
+    v_bank = np.asarray(vx(jnp.asarray(clips)))
+    a_bank = np.asarray(ax(jnp.asarray(specs)))
+    feats = server.detect_video(v_bank, a_bank, feat_times, duration,
+                                score_threshold=0.01)
+    np.testing.assert_allclose(media["segments"], feats["segments"],
+                               atol=1e-5)
+    np.testing.assert_allclose(media["scores"], feats["scores"],
+                               atol=1e-5)
+    np.testing.assert_array_equal(media["labels"], feats["labels"])
+
+
 def test_recognition_server_quantized_agrees():
     """RecognitionServer.quantized (static-int8) produces probabilities
     that agree with the fp path: same top-1 on most intervals, bounded

@@ -62,6 +62,10 @@ def build_parser():
                    help="nouns per verb for action-id decoding")
     p.add_argument("--label_column", default="class_id",
                    help="GT label column for non-EPIC datasets")
+    p.add_argument("--num_classes", type=int, default=0,
+                   help="class-count for submission label-range "
+                        "validation; needed for top-k dumps, where the "
+                        "dump itself no longer carries the full width")
     return p
 
 
@@ -136,11 +140,17 @@ def main(argv=None):
         task=args.task, challenge=challenge,
         challenge_json_path=args.challenge_json or None,
         num_nouns=args.noun_count)
-    if not isinstance(scores, tuple):
+    if args.num_classes:
+        num_classes = args.num_classes
+    elif not isinstance(scores, tuple):
         num_classes = int(scores.shape[-1])
-    else:  # top-k: max referenced class id is a lower bound
-        num_classes = (int(np.max(scores[1])) + 1 if scores[1].size
-                       else 1)
+    else:
+        # top-k dumps only carry referenced class ids, so a bound derived
+        # from them cannot catch out-of-range labels — say so instead of
+        # validating vacuously (pass --num_classes to enable the check)
+        num_classes = int(np.max(scores[1])) + 1 if scores[1].size else 1
+        print("note: top-k dump without --num_classes — submission "
+              "label-range validation is skipped", file=sys.stderr)
     validate_submission(submission, task=args.task,
                         num_classes=num_classes)
 

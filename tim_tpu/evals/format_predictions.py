@@ -81,7 +81,9 @@ def threshold_predictions_topk(
     topk_classes = np.asarray(topk_classes)
     k = topk_values.shape[-1]
     if num_classes is None or k < num_classes:
-        props = np.asarray(proposals, np.float64)
+        # same 3-decimal rounding as _build_candidates so the warned
+        # counts match the rows actually kept
+        props = np.round(np.asarray(proposals, np.float64), 3)
         valid_len = props[:, 1] - props[:, 0] > 0.0
         saturated = int(
             (topk_values[valid_len, -1] > score_threshold).sum())

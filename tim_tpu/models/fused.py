@@ -21,11 +21,11 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 import flax.linen as nn
 
-from tim_tpu.config import ModelConfig
+from tim_tpu.config import DetectionConfig, ModelConfig
 from tim_tpu.models.backbones.slowfast import AuditorySlowFast, pack_pathways
 from tim_tpu.models.backbones.swin3d import SwinTransformer3D
 from tim_tpu.models.backbones.vit import VideoMAEViT
-from tim_tpu.models.tim import TimRecognition
+from tim_tpu.models.tim import TimDetection, TimRecognition
 
 
 class FusedRecognitionPipeline(nn.Module):
@@ -86,3 +86,51 @@ class FusedRecognitionPipeline(nn.Module):
         return self.tim(v_feats, a_feats, times,
                         num_v_queries, num_a_queries,
                         deterministic=deterministic)
+
+
+class FusedDetectionPipeline(nn.Module):
+    """Raw media -> dense detection proposals in one graph (BASELINE
+    config 5, detection side): clips/spectrograms through the backbones,
+    features through the detection TIM with its query pyramid.
+
+    ``times`` must carry the feature timestamps followed by the query
+    intervals (visual then audio), exactly as ``TimDetection.__call__``
+    expects; the runners/server build that layout.
+    """
+
+    tim_cfg: DetectionConfig
+    visual_backbone: str = "both"
+    swin: Optional[SwinTransformer3D] = None
+    vit: Optional[VideoMAEViT] = None
+    audio_alpha: int = 4
+
+    def setup(self):
+        cfg = self.tim_cfg
+        if "visual" in cfg.input_modality:
+            if self.visual_backbone in ("omnivore", "both"):
+                self.swin_model = self.swin or SwinTransformer3D(
+                    dtype=jnp.dtype(cfg.compute_dtype))
+            if self.visual_backbone in ("videomae", "both"):
+                self.vit_model = self.vit or VideoMAEViT(
+                    dtype=jnp.dtype(cfg.compute_dtype))
+        if "audio" in cfg.input_modality:
+            self.audio_model = AuditorySlowFast(alpha=self.audio_alpha)
+        self.tim = TimDetection(cfg)
+
+    extract_visual = FusedRecognitionPipeline.extract_visual
+    extract_audio = FusedRecognitionPipeline.extract_audio
+
+    def __call__(self, video_clips, audio_specs, times,
+                 num_v_queries: int, num_a_queries: int,
+                 *, deterministic: bool = True,
+                 shared_queries: bool = False):
+        cfg = self.tim_cfg
+        v_feats = a_feats = None
+        if "visual" in cfg.input_modality:
+            v_feats = self.extract_visual(video_clips)
+        if "audio" in cfg.input_modality:
+            a_feats = self.extract_audio(audio_specs)
+        te = self.tim.encode_times(times)
+        return self.tim.encoder_forward(
+            v_feats, a_feats, te, num_v_queries, num_a_queries,
+            deterministic=deterministic, shared_queries=shared_queries)

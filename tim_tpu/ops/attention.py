@@ -33,18 +33,6 @@ import jax.numpy as jnp
 
 
 @functools.lru_cache(maxsize=1)
-def _score_dtype():
-    """Attention scores/softmax dtype. fp32 by default (the parity
-    policy); ``TIM_TPU_FAST_SCORES=1`` switches to bf16 — a serving knob
-    that halves the [B, H, Nq, F] score-tensor HBM traffic. The
-    attention *outputs* still accumulate in fp32 either way."""
-    v = os.environ.get("TIM_TPU_FAST_SCORES", "").strip().lower()
-    if v and v not in ("0", "false", "off", "no"):
-        return jnp.bfloat16
-    return jnp.float32
-
-
-@functools.lru_cache(maxsize=1)
 def _pallas_enabled() -> bool:
     # Opt-in: at EPIC shapes XLA's batched einsum beats the hand kernel
     # (measured 902 vs 755 windows/s); the kernel may still win at much
@@ -93,12 +81,15 @@ def tim_attention(
       q, k, v: [B, H, S, Dh]; the first ``num_ctx`` positions are context
         tokens, the rest are query (CLS) tokens.
       num_ctx: static number of context tokens.
-      score_dtype: dtype for scores/softmax; None uses fp32 (parity
-        policy) unless the TIM_TPU_FAST_SCORES env knob is set.
+      score_dtype: dtype for scores/softmax; None uses fp32 (the parity
+        policy). bf16 scores are the ``ModelConfig.fast_scores`` serving
+        knob — the ONLY switch for this behavior, accuracy-qualified in
+        tests/test_quant_accuracy.py; the attention *outputs* accumulate
+        fp32 either way.
 
     Returns: [B, H, S, Dh].
     """
-    sdt = score_dtype if score_dtype is not None else _score_dtype()
+    sdt = score_dtype if score_dtype is not None else jnp.float32
     orig_dtype = q.dtype
     s = q.shape[2]
     dh = q.shape[3]

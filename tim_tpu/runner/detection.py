@@ -306,14 +306,19 @@ class DetectionRunner:
             bs = self.tcfg.batch_size
             n = self._val_tables.num_windows
             n_chunks = n // bs           # same drop-last as before
-            if n_chunks > 0:
+            # multi-host: round-robin chunks across processes (losses
+            # stay host-local averages, like the host-iterator path)
+            pc, pid = jax.process_count(), jax.process_index()
+            chunk_ids = np.arange(n_chunks)[pid::pc] if pc > 1 \
+                else np.arange(n_chunks)
+            if len(chunk_ids) > 0:
                 if not self._bank_loss_keys:
                     self._discover_loss_keys(self.state)
                 ids_mat = jnp.asarray(
-                    np.arange(n_chunks * bs, dtype=np.int32).reshape(
-                        n_chunks, bs))
+                    (chunk_ids[:, None] * bs
+                     + np.arange(bs)[None]).astype(np.int32))
                 sums = self._bank_val_scan(self.state, ids_mat)
-                avg.update({k: float(v) / n_chunks
+                avg.update({k: float(v) / len(chunk_ids)
                             for k, v in sums.items()})
             return self._log_val(avg, epoch)
         for batch in batch_iterator(self.val_ds, self._local_bs,
@@ -365,14 +370,20 @@ class DetectionRunner:
                 self.last_best_epoch = epoch
                 is_best = "loss"
             if self.output_dir:
-                if jax.process_index() == 0:
+                extra = {"val_stats": {k: float(v)
+                                       for k, v in stats.items()}}
+                if not ckpt.fully_addressable(self.state):
+                    # cross-host model-parallel shards: orbax writes each
+                    # host's shards; every process participates
+                    ckpt.save_checkpoint_orbax(
+                        self.output_dir, self.state, epoch=epoch + 1,
+                        extra=extra)
+                elif jax.process_index() == 0:
                     # master-only write: concurrent multi-host writers
                     # would tear the shared checkpoint file
                     ckpt.save_checkpoint(
                         self.output_dir, self.state, epoch=epoch + 1,
-                        extra={"val_stats": {k: float(v)
-                                             for k, v in stats.items()}},
-                        is_best=is_best)
+                        extra=extra, is_best=is_best)
             if (self.tcfg.early_stop_period > 0 and
                     epoch - self.last_best_epoch >
                     self.tcfg.early_stop_period):
@@ -441,10 +452,16 @@ class DetectionRunner:
                             val[:take])
 
         if bank_infer is not None and dataset is None:
-            # HBM-resident path: batches are just window-id ranges
+            # HBM-resident path: batches are just window-id ranges;
+            # multi-host: round-robin the ranges (the allgather +
+            # win_idx unique below merges/dedups across hosts)
             bs = self.tcfg.batch_size
             n = self._val_tables.num_windows
-            for i in range(0, n, bs):
+            starts = list(range(0, n, bs))
+            pc, pid = jax.process_count(), jax.process_index()
+            if pc > 1:
+                starts = starts[pid::pc] or starts[:1]
+            for i in starts:
                 ids = np.arange(i, min(i + bs, n))
                 pad = bs - len(ids)
                 ids_p = np.concatenate([ids, np.full(pad, ids[-1])]) \
@@ -471,8 +488,11 @@ class DetectionRunner:
         win_idx = allgather_host_arrays(
             np.concatenate(win_idx).astype(np.int64))
         queries = allgather_host_arrays(np.concatenate(queries))
-        _, first = np.unique(win_idx, return_index=True)
-        keep = np.sort(first)
+        # np.unique returns ascending window ids with their first
+        # occurrence; keeping THAT order (not np.sort(first), which is
+        # concatenation order) makes the dump row order independent of
+        # how windows were sharded across hosts
+        _, keep = np.unique(win_idx, return_index=True)
         win_idx = win_idx[keep]
 
         nq = self.num_queries
@@ -498,10 +518,16 @@ class DetectionRunner:
               (dump[f"{score_key}_topk_values"],
                dump[f"{score_key}_topk_classes"]))
         if top_k is not None:
+            # match the head the scores came from: verb/noun heads have
+            # their own class counts when include_verb_noun is on
+            vc = self.cfg.visual_classes
+            head_sizes = {
+                "audio": self.cfg.audio_classes,
+                "verb": vc[0],
+                "noun": vc[1] if len(vc) == 3 else vc[-1],
+            }
             eval_kwargs.setdefault(
-                "topk_num_classes",
-                self.cfg.audio_classes if score_key == "audio"
-                else self.cfg.visual_classes[-1])
+                "topk_num_classes", head_sizes.get(score_key, vc[-1]))
         return evaluate_detections(
             dump["video_ids"], dump[proposals_key], sc,
             gt_columns, task=task, **eval_kwargs)

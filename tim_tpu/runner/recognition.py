@@ -383,6 +383,15 @@ class RecognitionRunner:
             ok[:take] = True
             rows.append(chunk)
             valids.append(ok)
+        # multi-host: round-robin the id chunks across processes — each
+        # host scans only its share and reduce_across_processes merges
+        # the vote tables (the host-loop path shards via _shard_args)
+        pc, pid = jax.process_count(), jax.process_index()
+        if pc > 1:
+            rows, valids = rows[pid::pc], valids[pid::pc]
+            if not rows:  # keep the scan shape valid on idle hosts
+                rows = [np.zeros(bs, np.int64)]
+                valids = [np.zeros(bs, bool)]
         sums, seen, loss_sum = self._bank_accum(
             self.state.params, jnp.asarray(np.stack(rows), jnp.int32),
             jnp.asarray(np.stack(valids)))
@@ -484,14 +493,20 @@ class RecognitionRunner:
             final_stats = stats
             is_best = self._best_tag(stats, epoch)
             if self.output_dir:
-                if jax.process_index() == 0:
+                extra = {"val_stats": {k: float(v)
+                                       for k, v in stats.items()}}
+                if not ckpt.fully_addressable(self.state):
+                    # cross-host model-parallel shards: orbax writes each
+                    # host's shards; every process participates
+                    ckpt.save_checkpoint_orbax(
+                        self.output_dir, self.state, epoch=epoch + 1,
+                        extra=extra)
+                elif jax.process_index() == 0:
                     # master-only write: concurrent multi-host writers
                     # would tear the shared checkpoint file
                     ckpt.save_checkpoint(
                         self.output_dir, self.state, epoch=epoch + 1,
-                        extra={"val_stats": {k: float(v)
-                                             for k, v in stats.items()}},
-                        is_best=is_best)
+                        extra=extra, is_best=is_best)
             if (self.tcfg.early_stop_period > 0 and
                     epoch - self.last_best_epoch >
                     self.tcfg.early_stop_period):

@@ -297,6 +297,51 @@ class DetectionServer:
         return data.astype(np.float32), times.astype(np.float32)
 
     # ------------------------------------------------------------------
+    def detect_video_media(
+        self,
+        video_clips: Optional[np.ndarray],   # [T, ...] raw clip per step
+        audio_specs: Optional[np.ndarray],   # [T, ...] spectrogram per step
+        feat_times: np.ndarray,              # [T, >=2]
+        duration: float,
+        *,
+        visual_extractor=None,               # jitted [B, ...] -> [B, Dv]
+        audio_extractor=None,                # jitted [B, ...] -> [B, Da]
+        extract_batch: int = 8,
+        **detect_kwargs,
+    ) -> Dict[str, np.ndarray]:
+        """Raw-media serving entry (BASELINE config 5 made a call): run
+        the backbone extractors over every feature timestep on device,
+        then window-slide the dense detection pyramid over the resulting
+        banks — the reference's three offline programs
+        (``omnivore/tools/extract_features.py:19-131``,
+        ``VideoMAE/feature_extraction.py:149-253``,
+        ``detection/scripts/extract_feats.py:68-139``) as one method.
+
+        Extractors are jitted callables (e.g. a bound
+        ``SwinTransformer3D``/``VideoMAEViT``/``AuditorySlowFast`` apply,
+        or ``FusedDetectionPipeline.extract_visual``); each timestep's
+        clip/spectrogram is assumed already preprocessed
+        (``extract.pipeline.preprocess_video_clip`` / ``extract.audio``).
+        """
+        from tim_tpu.extract.pipeline import extract_features_for_video
+
+        v_feats = a_feats = None
+        if video_clips is not None:
+            assert visual_extractor is not None, \
+                "video clips given without a visual_extractor"
+            v_feats = extract_features_for_video(
+                lambda t, a: video_clips[t], len(video_clips), 1,
+                visual_extractor, batch_size=extract_batch)[:, 0]
+        if audio_specs is not None:
+            assert audio_extractor is not None, \
+                "audio spectrograms given without an audio_extractor"
+            a_feats = extract_features_for_video(
+                lambda t, a: audio_specs[t], len(audio_specs), 1,
+                audio_extractor, batch_size=extract_batch)[:, 0]
+        return self.detect_video(v_feats, a_feats, feat_times, duration,
+                                 **detect_kwargs)
+
+    # ------------------------------------------------------------------
     def detect_video(
         self,
         v_feats: Optional[np.ndarray],      # [T, Dv] (aug already chosen)

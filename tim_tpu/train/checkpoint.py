@@ -23,6 +23,17 @@ def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def fully_addressable(state) -> bool:
+    """True when every array leaf of ``state`` lives entirely on this
+    process's devices — the precondition for the msgpack path, whose
+    ``_to_host`` (np.asarray per leaf) cannot materialize shards held by
+    other hosts. Cross-host model-parallel params must go through
+    ``save_checkpoint_orbax`` (each host writes its own shards)."""
+    return all(
+        getattr(leaf, "is_fully_addressable", True)
+        for leaf in jax.tree_util.tree_leaves(state))
+
+
 def save_checkpoint(
     path: str,
     state,
@@ -33,7 +44,14 @@ def save_checkpoint(
 ) -> None:
     """Write ``<path>/checkpoint.msgpack`` (+ best-variant copies, matching
     the reference's best_<axis>.pyth naming scheme, ``checkpoint.py:53-71``).
+
+    Requires host-addressable state (see ``fully_addressable``); the
+    runners route cross-host-sharded states to the orbax backend.
     """
+    if not fully_addressable(state):
+        raise ValueError(
+            "state has shards on other hosts; msgpack save would "
+            "deadlock or corrupt — use save_checkpoint_orbax")
     os.makedirs(path, exist_ok=True)
     payload = _state_payload(state, epoch, extra, host=True)
     blob = serialization.msgpack_serialize(payload)

@@ -100,30 +100,42 @@ def make_train_step(
         rng_vq, rng_aq, rng_drop, rng_drloc = jax.random.split(step_rng, 4)
 
         batch_size = batch["times"].shape[0]
-        times = batch["times"]
         normaliser = state.normaliser
 
-        v_queries = a_queries = None
+        # sampled queries are SHARED across the batch
+        # (``detection/.../tim.py:281-284``): keep the [nq, 2] originals
+        # for a single time-MLP pass and broadcast only for labeling
+        v_qs = a_qs = v_queries = a_queries = None
         if has_visual:
-            v_queries = Q.sample_train_queries(rng_vq, train_pool,
-                                               num_queries)
-            v_queries = jnp.broadcast_to(v_queries[None],
+            v_qs = Q.sample_train_queries(rng_vq, train_pool, num_queries)
+            v_queries = jnp.broadcast_to(v_qs[None],
                                          (batch_size, num_queries, 2))
-            times = jnp.concatenate([times, v_queries], axis=1)
         if has_audio:
-            a_queries = Q.sample_train_queries(rng_aq, train_pool,
-                                               num_queries)
-            a_queries = jnp.broadcast_to(a_queries[None],
+            a_qs = Q.sample_train_queries(rng_aq, train_pool, num_queries)
+            a_queries = jnp.broadcast_to(a_qs[None],
                                          (batch_size, num_queries, 2))
-            times = jnp.concatenate([times, a_queries], axis=1)
 
         nv = num_queries if has_visual else 0
         na = num_queries if has_audio else 0
 
         def loss_fn(params):
             variables = {"params": params}
-            te = model.apply(variables, times,
-                             method=TimDetection.encode_times)
+
+            # batch-identical query intervals: encode once + broadcast
+            # (exact — same values; backward of the broadcast sums the
+            # batch contributions). Saves the [B, 2*nq, 2] rows through
+            # the 3-layer time MLP forward AND backward.
+            def enc(t):
+                return model.apply(variables, t,
+                                   method=TimDetection.encode_times)
+
+            te_parts = [enc(batch["times"])]
+            for qs in (v_qs, a_qs):
+                if qs is not None:
+                    te_q = enc(qs[None])                    # [1, nq, d]
+                    te_parts.append(jnp.broadcast_to(
+                        te_q, (batch_size,) + te_q.shape[1:]))
+            te = jnp.concatenate(te_parts, axis=1)
             cls_logits, reg_preds, ctx = model.apply(
                 variables, batch.get("v_feats"), batch.get("a_feats"), te,
                 nv, na, deterministic=False, rngs={"dropout": rng_drop},
@@ -235,17 +247,25 @@ def make_val_step(
 
     def val_step(state: TrainState, batch: Dict):
         batch_size = batch["times"].shape[0]
-        times = batch["times"]
         queries = jnp.broadcast_to(grid[None], (batch_size, nq, 2))
-        if has_visual:
-            times = jnp.concatenate([times, queries], axis=1)
-        if has_audio:
-            times = jnp.concatenate([times, queries], axis=1)
         nv = nq if has_visual else 0
         na = nq if has_audio else 0
 
         variables = {"params": state.params}
-        te = model.apply(variables, times, method=TimDetection.encode_times)
+        # fixed grid: encode its intervals once + broadcast (the
+        # inference step's trick, exact for the val losses too)
+        te_feat = model.apply(variables, batch["times"],
+                              method=TimDetection.encode_times)
+        te_query = model.apply(variables, grid[None],
+                               method=TimDetection.encode_times)
+        te_query = jnp.broadcast_to(
+            te_query, (batch_size,) + te_query.shape[1:])
+        parts = [te_feat]
+        if has_visual:
+            parts.append(te_query)
+        if has_audio:
+            parts.append(te_query)
+        te = jnp.concatenate(parts, axis=1)
         cls_logits, reg_preds, _ = model.apply(
             variables, batch.get("v_feats"), batch.get("a_feats"), te,
             nv, na, deterministic=True, shared_queries=True,
