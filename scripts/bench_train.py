@@ -75,6 +75,34 @@ def bench_recognition(batch_size=64, iters=10):
     state = create_train_state(variables["params"], tx)
     step = rec_train.make_train_step(model, cfg, tcfg, nv, na)
     dt, fl = chained_steps(step, state, batch, key, iters)
+
+    # forward/backward attribution via the eval step (same forward +
+    # losses, no grad/update, dropout off)
+    ev = rec_train.make_eval_step(model, cfg, tcfg, nv, na)
+
+    @jax.jit
+    def ev_run(params, batch):
+        def body(i, carry):
+            logits, losses = ev(params, batch)
+            return carry + losses["loss_action"] * 1e-9
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    evc = ev_run.lower(state.params, batch).compile()
+    try:
+        efl = float(evc.cost_analysis()["flops"]) / iters
+    except Exception:
+        efl = float("nan")
+    float(evc(state.params, batch))
+    t0 = time.perf_counter()
+    float(evc(state.params, batch))
+    edt = time.perf_counter() - t0
+    fwd_ms, full_ms = edt / iters * 1e3, dt / iters * 1e3
+    print(f"recognition attribution: forward+loss {fwd_ms:.2f} ms "
+          f"({efl / batch_size / 1e9:.1f} GFLOP/win, "
+          f"{batch_size * iters / edt * efl / batch_size / 1e12:.1f} "
+          f"TF/s) | backward+opt {full_ms - fwd_ms:.2f} ms "
+          f"({(full_ms - fwd_ms) / fwd_ms:.2f}x the forward)")
+
     wps = batch_size * iters / dt
     print(f"recognition train: {wps:.0f} windows/s (batch {batch_size}); "
           f"XLA {fl / batch_size / 1e9:.1f} GFLOP/window -> "

@@ -71,6 +71,10 @@ class ModelConfig:
     # Calibrated (param_path, scale) pairs baked as compile-time constants
     # (``ops.quant.act_scales_tuple``); empty -> act_scale params are used.
     quant_act_scales: Tuple[Tuple[str, float], ...] = ()
+    # Mosaic fused int8 kernel on the classifier heads (the one shape
+    # where it measured faster than XLA; needs quant_static_acts with
+    # calibrated scales). ops/pallas_int8.py; opt-in.
+    quant_pallas_heads: bool = False
     # serving knob: bf16 attention scores/softmax (outputs still
     # accumulate fp32) — measured +5% dense inference; accuracy bound in
     # tests/test_quant_accuracy.py

@@ -105,6 +105,11 @@ class Int8Dense(nn.Module):
     dtype: jnp.dtype = jnp.float32
     static_acts: bool = False
     act_scale_const: float = 0.0
+    # Mosaic fused quantize->int8 MXU->dequant kernel (ops/pallas_int8):
+    # measured +7.6% on the wide 3806-class head matmul, LOSES on FFN
+    # shapes (docs/PERFORMANCE.md) — wire per-layer, requires static
+    # act_scale_const and a TPU backend.
+    pallas_fused: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -122,7 +127,20 @@ class Int8Dense(nn.Module):
                      jnp.max(jnp.abs(x)).astype(jnp.float32),
                      init_fn=lambda: jnp.float32(0.0),
                      reduce_fn=jnp.maximum)
-        if self.static_acts and self.act_scale_const > 0.0:
+        if (self.pallas_fused and self.static_acts
+                and self.act_scale_const > 0.0):
+            from tim_tpu.ops.pallas_int8 import (
+                int8_matmul_fused, supports_pallas_int8)
+            if supports_pallas_int8():
+                bias = (self.param("bias", nn.initializers.zeros,
+                                   (self.features,), jnp.float32)
+                        if self.use_bias else None)
+                return int8_matmul_fused(
+                    x, kernel_q, scale, self.act_scale_const, bias=bias,
+                    block_m=256, out_dtype=self.dtype)
+            y = int8_matmul_static(x, kernel_q, scale,
+                                   self.act_scale_const)
+        elif self.static_acts and self.act_scale_const > 0.0:
             y = int8_matmul_static(x, kernel_q, scale,
                                    self.act_scale_const)
         elif self.static_acts:

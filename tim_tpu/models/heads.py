@@ -25,12 +25,14 @@ FOCAL_BIAS = -math.log((1 - 0.01) / 0.01)
 
 
 def _focal_linear(features: int, dtype, name: str, quantized: bool = False,
-                  static_acts: bool = False, act_scale: float = 0.0):
+                  static_acts: bool = False, act_scale: float = 0.0,
+                  pallas_fused: bool = False):
     """Linear whose bias starts at the RetinaNet prior
     (``detection/.../head.py:12-25``)."""
     if quantized:
         return Int8Dense(features, dtype=dtype, static_acts=static_acts,
-                         act_scale_const=act_scale, name=name)
+                         act_scale_const=act_scale,
+                         pallas_fused=pallas_fused, name=name)
     return nn.Dense(
         features, dtype=dtype, param_dtype=jnp.float32,
         kernel_init=torch_linear_kernel_init,
@@ -92,6 +94,7 @@ class DetectionClsHead(nn.Module):
     quantized: bool = False
     quant_static_acts: bool = False
     act_scales: tuple = ()
+    pallas_fused: bool = False
 
     @nn.compact
     def __call__(self, x, num_v_queries: int, num_a_queries: int):
@@ -103,7 +106,7 @@ class DetectionClsHead(nn.Module):
             return _focal_linear(
                 features, self.dtype, name, self.quantized,
                 self.quant_static_acts,
-                scale_for(self.act_scales, name))
+                scale_for(self.act_scales, name), self.pallas_fused)
 
         verb = noun = action = audio = None
         if self.visual_classes is not None and num_v_queries > 0:

@@ -189,6 +189,7 @@ class TimDetection(_TimBase):
             quantized=cfg.quantized_inference,
             quant_static_acts=cfg.quant_static_acts,
             act_scales=filter_scales(cfg.quant_act_scales, "cls_head"),
+            pallas_fused=cfg.quant_pallas_heads,
             name="cls_head")
         self.reg_head = DetectionRegHead(
             has_visual=vis is not None, has_audio=aud is not None,
