@@ -83,8 +83,12 @@ def bench_recognition(batch_size=64, iters=10):
     @jax.jit
     def ev_run(params, batch):
         def body(i, carry):
-            logits, losses = ev(params, batch)
-            return carry + losses["loss_action"] * 1e-9
+            # carry feeds the inputs so XLA cannot hoist the forward
+            # out of the loop (CLAUDE.md timing methodology)
+            b2 = dict(batch)
+            b2["v_feats"] = batch["v_feats"] + carry
+            logits, losses = ev(params, b2)
+            return losses["loss_action"].astype(jnp.float32) * 1e-9
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
     evc = ev_run.lower(state.params, batch).compile()
@@ -98,9 +102,9 @@ def bench_recognition(batch_size=64, iters=10):
     edt = time.perf_counter() - t0
     fwd_ms, full_ms = edt / iters * 1e3, dt / iters * 1e3
     print(f"recognition attribution: forward+loss {fwd_ms:.2f} ms "
-          f"({efl / batch_size / 1e9:.1f} GFLOP/win, "
-          f"{batch_size * iters / edt * efl / batch_size / 1e12:.1f} "
-          f"TF/s) | backward+opt {full_ms - fwd_ms:.2f} ms "
+          f"(XLA-counted {efl / batch_size / 1e9:.1f} GFLOP/win — "
+          f"cost_analysis undercounts loop trips in some jax builds; "
+          f"trust the ms) | backward+opt {full_ms - fwd_ms:.2f} ms "
           f"({(full_ms - fwd_ms) / fwd_ms:.2f}x the forward)")
 
     wps = batch_size * iters / dt
@@ -156,8 +160,10 @@ def bench_detection(batch_size=32, iters=10):
     @jax.jit
     def val_run(state, batch):
         def body(i, carry):
-            m = val(state, batch)
-            return carry + m["loss"] * 1e-9
+            b2 = dict(batch)
+            b2["v_feats"] = batch["v_feats"] + carry
+            m = val(state, b2)
+            return m["loss"].astype(jnp.float32) * 1e-9
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
     vc = val_run.lower(state, batch).compile()
@@ -172,9 +178,8 @@ def bench_detection(batch_size=32, iters=10):
     fwd_ms = vdt / iters * 1e3
     full_ms = dt / iters * 1e3
     print(f"  attribution: forward+loss {fwd_ms:.1f} ms "
-          f"({vfl / batch_size / 1e9:.1f} GFLOP/win, "
-          f"{batch_size * iters / vdt * vfl / batch_size / 1e12:.1f} "
-          f"TF/s) | backward+opt {full_ms - fwd_ms:.1f} ms "
+          f"(XLA-counted {vfl / batch_size / 1e9:.1f} GFLOP/win) | "
+          f"backward+opt {full_ms - fwd_ms:.1f} ms "
           f"({(full_ms - fwd_ms) / fwd_ms:.2f}x the forward)")
 
 
