@@ -113,8 +113,8 @@ def bench_recognition(batch_size=64, iters=10):
           f"{wps * fl / batch_size / 1e12:.1f} TF/s achieved")
 
 
-def bench_detection(batch_size=32, iters=10):
-    cfg = C.epic_detection()
+def bench_detection(batch_size=32, iters=10, remat=False):
+    cfg = C.epic_detection(remat=remat)
     tcfg = C.TrainConfig()
     nf = cfg.num_feats
     nq = generate_query_pyramid(cfg.inference_query_size).shape[0]
@@ -148,6 +148,8 @@ def bench_detection(batch_size=32, iters=10):
     step = det_train.make_train_step(model, cfg, tcfg)
     dt, fl = chained_steps(step, state, batch, key, iters)
     wps = batch_size * iters / dt
+    if remat:
+        print("  [remat=True]")
     print(f"detection train: {wps:.0f} windows/s (batch {batch_size}); "
           f"XLA {fl / batch_size / 1e9:.1f} GFLOP/window -> "
           f"{wps * fl / batch_size / 1e12:.1f} TF/s achieved")
@@ -188,8 +190,11 @@ if __name__ == "__main__":
     det_only = args and args[0] == "det"
     if det_only:
         args = args[1:]
+    remat = args and args[0] == "remat"
+    if remat:
+        args = args[1:]
     sizes = [int(a) for a in args]
     if not det_only:
         bench_recognition()
     for bs in sizes or [32]:
-        bench_detection(batch_size=bs)
+        bench_detection(batch_size=bs, remat=remat)

@@ -166,6 +166,14 @@ class TrainConfig:
     seed: int = 0
     early_stop_period: int = -1
 
+    # XLA's experimental fusion cost model, passed as compiler_options
+    # on the recognition train-step jit: measured +10-12% train
+    # throughput on v5e (2170-2207 vs 1971-1985 win/s b64, repeated;
+    # scripts/bench_xla_options.py). NOT applied to detection (the flag
+    # crashes this relay's compiler on that graph) or to inference
+    # (slight loss, 1157 vs 1165). TPU-only; ignored on CPU.
+    xla_fusion_cost_model: bool = True
+
 
 # ---------------------------------------------------------------------------
 # Data
