@@ -35,6 +35,7 @@ this chip — see ``ops/pallas_fused.py``; int8 is the serving lever.)
 """
 
 import json
+import os
 import sys
 import time
 
@@ -84,7 +85,9 @@ def main():
 
     nq = generate_query_pyramid(cfg.inference_query_size).shape[0]
     nf = cfg.num_feats
-    batch = 128
+    # batch sweep (round 2): 64=902, 128=1166 (headline), 192/256 lose
+    # — env override for batch experiments only
+    batch = int(os.environ.get("TIM_TPU_BENCH_BATCH", "128"))
     iters = 30
     rng = np.random.default_rng(0)
     example = {

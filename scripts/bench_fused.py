@@ -6,6 +6,12 @@ data-dependent chain, single scalar fetch). Run on the real chip:
     python scripts/bench_fused.py [block_rows ...]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import dataclasses
 import sys
 import time

@@ -11,6 +11,12 @@ Times, at bench shapes (n=114944 rows, c=1024, ff=2048, bf16):
 """
 
 import functools
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

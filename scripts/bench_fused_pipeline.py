@@ -14,6 +14,12 @@ detection TIM) and reports the composite:
 Run on the chip:  python scripts/bench_fused_pipeline.py [--tiny]
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import argparse
 import time
 
@@ -92,30 +98,34 @@ def main():
 
     rnd = np.random.default_rng(0)
 
+    # Params must be TRACED jit arguments, not closed-over constants:
+    # embedded weights blow up the serialized program past the remote
+    # compiler's upload limit (HTTP 413 measured with Swin-B).
+
     # ---- omnivore (Swin-B) ----
     co = jnp.asarray(rnd.normal(size=(bs,) + clip_o) * 0.1, jnp.bfloat16)
     sv = swin.init(rng, co)
     t_omni = timeit(
         f"omnivore swin {clip_o} b{bs}",
-        lambda c: swin.apply(sv, c), co) / bs
+        lambda c, p: swin.apply(p, c), co, sv) / bs
 
     # ---- videomae (ViT-L) ----
     cv = jnp.asarray(rnd.normal(size=(bs,) + clip_v) * 0.1, jnp.bfloat16)
     vv = vit.init(rng, cv)
     t_vit = timeit(
         f"videomae vit {clip_v} b{bs}",
-        lambda c: vit.apply(vv, c), cv) / bs
+        lambda c, p: vit.apply(p, c), cv, vv) / bs
 
     # ---- auditory slowfast ----
     sp = jnp.asarray(rnd.normal(size=(bs * 2,) + spec) * 0.1, jnp.float32)
     slow, fast = pack_pathways(sp[..., None], alpha=4)
     av = asf.init(rng, slow, fast, train=False)
 
-    def asf_fwd(slow, fast):
-        _, feats = asf.apply(av, slow, fast, train=False)
+    def asf_fwd(slow, fast, params):
+        _, feats = asf.apply(params, slow, fast, train=False)
         return feats
     t_asf = timeit(f"asf spec {spec} b{bs * 2}", asf_fwd, slow,
-                   fast) / (bs * 2)
+                   fast, av) / (bs * 2)
 
     # ---- TIM detection window ----
     model = TimDetection(dcfg)
@@ -130,22 +140,23 @@ def main():
     tv = model.init({"params": rng, "dropout": rng}, v, a, times, nq, nq,
                     deterministic=True)
 
-    def tim_fwd(v, a, t):
-        cls_scores, reg, _ = model.apply(tv, v, a, t, nq, nq,
+    def tim_fwd(params, v, a, t):
+        cls_scores, reg, _ = model.apply(params, v, a, t, nq, nq,
                                          deterministic=True)
         return cls_scores[2].astype(jnp.float32).max() + reg[0].sum()
 
     import jax as _jax
 
     @_jax.jit
-    def tim_chained(v, a, t):
+    def tim_chained(params, v, a, t):
         def body(_, carry):
-            return tim_fwd(v + carry * 1e-9, a, t).astype(jnp.float32)
+            return tim_fwd(params, v + carry * 1e-9, a,
+                           t).astype(jnp.float32)
         return _jax.lax.fori_loop(0, 10, body, jnp.float32(0))
 
-    float(tim_chained(v, a, times))
+    float(tim_chained(tv, v, a, times))
     t0 = time.perf_counter()
-    float(tim_chained(v, a, times))
+    float(tim_chained(tv, v, a, times))
     t_tim = (time.perf_counter() - t0) / 10 / tim_b
     print(f"[fused] tim detection window b{tim_b}: "
           f"{t_tim * 1e3:.2f} ms/window", flush=True)

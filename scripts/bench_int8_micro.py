@@ -11,6 +11,12 @@ Shapes: the bench headline FFN (n=114944 rows = 898 tokens x 128 windows,
 1024 -> 2048 -> 1024) and the detection head (1024 -> 3806).
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

@@ -4,6 +4,7 @@ single-line inference benchmark). Chained-in-jit timing like bench.py."""
 import os
 import sys
 import time
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -21,12 +22,12 @@ from tim_tpu.train.optim import make_optimizer
 from tim_tpu.train.state import create_train_state
 
 
-def chained_steps(step, state, batch, rng, iters):
+def chained_steps(step, state, batch, rng, iters, compiler_options=None):
     """Returns (seconds for one chained call, XLA FLOPs per step).
     FLOPs come from the same compile used for timing (remote TPU
     compiles are minutes-slow; don't compile twice): the fori_loop body
     runs ``iters`` times and the loop epilogue adds a negligible sum."""
-    @jax.jit
+    @partial(jax.jit, compiler_options=compiler_options)
     def run(state, batch):
         def body(i, carry):
             s, _ = carry
@@ -74,7 +75,13 @@ def bench_recognition(batch_size=64, iters=10):
     tx = make_optimizer(tcfg.lr, tcfg.weight_decay, 10000, 100)
     state = create_train_state(variables["params"], tx)
     step = rec_train.make_train_step(model, cfg, tcfg, nv, na)
-    dt, fl = chained_steps(step, state, batch, key, iters)
+    # measure the shipped default: the recognition runner passes the
+    # fusion-cost-model flag on its train jits (TrainConfig)
+    opts = None
+    if tcfg.xla_fusion_cost_model and jax.default_backend() != "cpu":
+        opts = {"xla_tpu_enable_experimental_fusion_cost_model": "true"}
+    dt, fl = chained_steps(step, state, batch, key, iters,
+                           compiler_options=opts)
 
     # forward/backward attribution via the eval step (same forward +
     # losses, no grad/update, dropout off)
