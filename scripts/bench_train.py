@@ -19,7 +19,7 @@ from tim_tpu.models.queries import generate_query_pyramid
 from tim_tpu.train import detection as det_train
 from tim_tpu.train import recognition as rec_train
 from tim_tpu.train.optim import make_optimizer
-from tim_tpu.train.state import create_train_state
+from tim_tpu.train.state import create_train_state, training_rng
 
 
 def chained_steps(step, state, batch, rng, iters, compiler_options=None):
@@ -80,7 +80,8 @@ def bench_recognition(batch_size=64, iters=10):
     opts = None
     if tcfg.xla_fusion_cost_model and jax.default_backend() != "cpu":
         opts = {"xla_tpu_enable_experimental_fusion_cost_model": "true"}
-    dt, fl = chained_steps(step, state, batch, key, iters,
+    dt, fl = chained_steps(step, state, batch,
+                           training_rng(0, tcfg.rng_impl), iters,
                            compiler_options=opts)
 
     # forward/backward attribution via the eval step (same forward +
@@ -153,7 +154,8 @@ def bench_detection(batch_size=32, iters=10, remat=False):
     state = create_train_state(variables["params"], tx,
                                normaliser=tcfg.normaliser_init)
     step = det_train.make_train_step(model, cfg, tcfg)
-    dt, fl = chained_steps(step, state, batch, key, iters)
+    dt, fl = chained_steps(step, state, batch,
+                           training_rng(0, tcfg.rng_impl), iters)
     wps = batch_size * iters / dt
     if remat:
         print("  [remat=True]")

@@ -17,7 +17,7 @@ from tim_tpu.train import checkpoint as ckpt
 from tim_tpu.train import detection as det_train
 from tim_tpu.train import recognition as rec_train
 from tim_tpu.train.optim import make_optimizer
-from tim_tpu.train.state import create_train_state
+from tim_tpu.train.state import create_train_state, training_rng
 
 
 @pytest.fixture(scope="module")
@@ -76,6 +76,52 @@ def test_recognition_overfit(bundle):
     assert logits["action"].shape == (8, nv, 13)
     assert logits["audio"].shape == (8, na, 7)
     assert all(np.isfinite(float(v)) for v in eval_losses.values())
+
+
+def test_training_rng_rbg_path(bundle):
+    """TrainConfig.rng_impl='rbg' (the default, TPU hardware RNG for
+    dropout bits — scripts/bench_bwd_micro.py measured 208->245 win/s
+    detection train): the rbg key drives the train step to the same
+    finite, decreasing losses, deterministically per key, and the
+    dropout draws are genuinely stochastic across steps."""
+    ws, ds, cfg = _recognition_setup(bundle)
+    tcfg = C.TrainConfig(batch_size=4, lr=3e-4, mixup_alpha=0.2,
+                         lambda_drloc=0.1)
+    assert tcfg.rng_impl == "rbg"
+    model = TimRecognition(cfg)
+    nv, na = ws.max_visual_actions, ws.max_audio_actions
+    batch = next(batch_iterator(ds, 8, shuffle=False))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    init_rng = jax.random.PRNGKey(0)
+    variables = model.init(
+        {"params": init_rng, "dropout": init_rng}, batch["v_feats"],
+        batch["a_feats"], batch["times"], nv, na, deterministic=True)
+    tx = make_optimizer(tcfg.lr, tcfg.weight_decay, total_steps=300,
+                        warmup_steps=10)
+    state = create_train_state(variables["params"], tx)
+    step = jax.jit(rec_train.make_train_step(model, cfg, tcfg, nv, na))
+
+    rng = training_rng(tcfg.seed, tcfg.rng_impl)
+    losses = []
+    st = state
+    for _ in range(30):
+        st, metrics = step(st, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+    # same key -> bit-identical first step (determinism preserved)
+    _, m1 = step(state, batch, rng)
+    _, m2 = step(state, batch, rng)
+    assert float(m1["loss"]) == float(m2["loss"])
+
+    # the step folds in state.step, so consecutive steps draw different
+    # dropout masks: same params, same batch, different loss
+    st1, ma = step(state, batch, rng)
+    st1 = st1.replace(params=state.params, opt_state=state.opt_state)
+    _, mb = step(st1, batch, rng)
+    assert float(ma["loss"]) != float(mb["loss"])
 
 
 def test_recognition_checkpoint_roundtrip(bundle, tmp_path):

@@ -174,6 +174,16 @@ class TrainConfig:
     # (slight loss, 1157 vs 1165). TPU-only; ignored on CPU.
     xla_fusion_cost_model: bool = True
 
+    # PRNG implementation for the training rng key (dropout masks, mixup,
+    # drloc sampling). "rbg" feeds dropout from XLA's RngBitGenerator —
+    # the TPU hardware RNG — instead of threefry2x32 on the VPU: measured
+    # 208 -> 245 win/s detection train b64 (threefry mask bits were ~1/3
+    # of the step; scripts/bench_bwd_micro.py, docs/PERFORMANCE.md).
+    # Statistically equivalent dropout; set "threefry2x32" for bit-exact
+    # reproduction of historical runs. Deterministic (eval/serving) paths
+    # draw no random bits and are unaffected.
+    rng_impl: str = "rbg"
+
 
 # ---------------------------------------------------------------------------
 # Data

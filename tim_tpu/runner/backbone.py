@@ -24,7 +24,8 @@ from tim_tpu.models.backbones.vit import VideoMAEViT
 from tim_tpu.train.backbone_finetune import (
     make_llrd_optimizer, make_pretrain_step, mixup_targets,
     soft_target_cross_entropy)
-from tim_tpu.train.state import TrainState, create_train_state
+from tim_tpu.train.state import (
+    TrainState, create_train_state, training_rng)
 from tim_tpu.utils.logging import setup_logging
 
 
@@ -166,7 +167,7 @@ class BackboneFinetuneRunner:
     def fit(self) -> Dict[str, float]:
         if self.state is None:
             self.init_state()
-        rng = jax.random.PRNGKey(self.seed)
+        rng = training_rng(self.seed)
         metrics = {}
         for epoch in range(self.epochs):
             ep_rng = np.random.default_rng(self.seed + epoch)

@@ -22,7 +22,7 @@ from tim_tpu.parallel.multihost import allgather_host_arrays
 from tim_tpu.train import checkpoint as ckpt
 from tim_tpu.train import detection as steps
 from tim_tpu.train.optim import make_optimizer
-from tim_tpu.train.state import create_train_state
+from tim_tpu.train.state import create_train_state, training_rng
 from tim_tpu.utils.logging import log_json_stats, setup_logging
 
 
@@ -349,7 +349,7 @@ class DetectionRunner:
         until the offline eval chain; here it is one call away
         (``evaluate_mAP``), so surface it during training."""
         epochs = epochs or self.tcfg.epochs
-        rng = jax.random.PRNGKey(self.tcfg.seed)
+        rng = training_rng(self.tcfg.seed, self.tcfg.rng_impl)
         if self.state is None:
             self.init_state(rng)
         final: Dict[str, float] = {}

@@ -23,7 +23,7 @@ from tim_tpu.parallel.mesh import host_local_rows, prefetch_to_device
 from tim_tpu.train import checkpoint as ckpt
 from tim_tpu.train import recognition as steps
 from tim_tpu.train.optim import make_optimizer
-from tim_tpu.train.state import create_train_state
+from tim_tpu.train.state import create_train_state, training_rng
 from tim_tpu.utils.logging import PhaseTimer, log_json_stats, setup_logging
 
 
@@ -492,7 +492,7 @@ class RecognitionRunner:
     def fit(self, epochs: Optional[int] = None,
             start_epoch: int = 0) -> Dict[str, float]:
         epochs = epochs or self.tcfg.epochs
-        rng = jax.random.PRNGKey(self.tcfg.seed)
+        rng = training_rng(self.tcfg.seed, self.tcfg.rng_impl)
         if self.state is None:
             self.init_state(rng)
         final_stats: Dict[str, float] = {}
