@@ -54,6 +54,9 @@ def _train_chained(mode, batch, iters):
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
     tcfg = C.TrainConfig()
+    # the step rng uses the shipped impl (rbg hardware RNG by default)
+    from tim_tpu.train.state import training_rng
+    step_key = training_rng(0, tcfg.rng_impl)
     if mode == "banktrain":
         from tim_tpu.data.device_bank import DeviceFeatureBank
         cfg = C.epic_recognition()
@@ -142,7 +145,7 @@ def _train_chained(mode, batch, iters):
     def chained_fn(state, batch_d):
         def body(i, carry):
             s, _ = carry
-            s, metrics = step(s, batch_d, key)
+            s, metrics = step(s, batch_d, step_key)
             return (s, metrics["loss"])
         s, loss = jax.lax.fori_loop(0, iters, body,
                                     (state, jnp.float32(0.0)))
