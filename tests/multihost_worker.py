@@ -13,6 +13,7 @@ import sys
 def main():
     nproc, pid, port, outfile = (int(sys.argv[1]), int(sys.argv[2]),
                                  sys.argv[3], sys.argv[4])
+    use_bank = len(sys.argv) > 5 and sys.argv[5] == "bank"
 
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -57,7 +58,8 @@ def main():
     tcfg = C.TrainConfig(batch_size=8, epochs=1, warmup_epochs=0,
                          lr=1e-3, mixup_alpha=0.0, lambda_drloc=0.0,
                          seed=0)
-    runner = RecognitionRunner(cfg, tcfg, train_ds, val_ds, print_freq=100)
+    runner = RecognitionRunner(cfg, tcfg, train_ds, val_ds, print_freq=100,
+                               use_device_bank=use_bank)
     runner.init_state()
     pre = runner.validate()
     runner.train_epoch(0, jax.random.PRNGKey(0))

@@ -27,15 +27,15 @@ def _free_port() -> int:
     return port
 
 
-def _run(nproc: int, tmp_path, worker=WORKER) -> dict:
-    out = tmp_path / f"stats_{os.path.basename(worker)}_{nproc}.json"
+def _run(nproc: int, tmp_path, worker=WORKER, mode="host") -> dict:
+    out = tmp_path / f"stats_{os.path.basename(worker)}_{nproc}_{mode}.json"
     port = _free_port()
     env = dict(os.environ, PYTHONPATH=ROOT)
     env.pop("XLA_FLAGS", None)  # worker sets its own device count
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(nproc), str(pid), str(port),
-             str(out)],
+             str(out), mode],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
         for pid in range(nproc)
     ]
@@ -50,9 +50,14 @@ def _run(nproc: int, tmp_path, worker=WORKER) -> dict:
 
 
 @pytest.mark.slow
-def test_two_process_training_matches_single(tmp_path):
-    single = _run(1, tmp_path)
-    double = _run(2, tmp_path)
+@pytest.mark.parametrize("mode", ["host", "bank"])
+def test_two_process_training_matches_single(tmp_path, mode):
+    """``bank`` runs the device-bank paths (banked train epoch +
+    on-device vote-accumulation scan) as ONE global SPMD program per
+    step on every process — ids data-sharded via ``put_ids``, replicated
+    outputs — and must be exactly layout-independent."""
+    single = _run(1, tmp_path, mode=mode)
+    double = _run(2, tmp_path, mode=mode)
 
     assert double["process_count"] == 2
     assert double["device_count"] == 4
@@ -77,12 +82,15 @@ def test_two_process_training_matches_single(tmp_path):
 
 
 @pytest.mark.slow
-def test_two_process_detection_matches_single(tmp_path):
+@pytest.mark.parametrize("mode", ["host", "bank"])
+def test_two_process_detection_matches_single(tmp_path, mode):
     """Detection: 2-process training losses and the assembled dense
     top-k dump must match the single-process run (the dump is
-    allgathered + deduped + window-ordered across hosts)."""
-    single = _run(1, tmp_path, worker=DET_WORKER)
-    double = _run(2, tmp_path, worker=DET_WORKER)
+    allgathered + deduped + window-ordered across hosts). ``bank``
+    exercises the HBM-resident train/val-scan/extract paths under
+    ``process_count == 2`` (global SPMD chunks, data-sharded ids)."""
+    single = _run(1, tmp_path, worker=DET_WORKER, mode=mode)
+    double = _run(2, tmp_path, worker=DET_WORKER, mode=mode)
 
     assert double["process_count"] == 2
     assert double["device_count"] == 4

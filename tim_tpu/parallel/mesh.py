@@ -127,6 +127,27 @@ def shard_batch(batch, mesh: Mesh):
             x, sh if np.ndim(x) >= 1 else scalar), batch)
 
 
+def put_ids(x, mesh: Mesh, batch_axis: int = 0):
+    """Place an ids/mask array that is IDENTICAL on every process as a
+    global array with ``batch_axis`` sharded over ``data`` (replicated
+    when the axis doesn't divide the mesh). This is how the device-bank
+    paths compose with multi-host: every process runs ONE identical SPMD
+    program over the full id set (a per-process round-robin would give
+    each process a different program and break jit lockstep), and the
+    data-axis sharding splits the per-chunk compute across all devices.
+    Single-process it is a committed ``device_put`` — the same few-KB
+    transfer ``jnp.asarray`` would do, plus real data-parallel placement
+    on multi-device meshes."""
+    x = np.asarray(x)
+    axes = [None] * x.ndim
+    if x.shape[batch_axis] % mesh.shape["data"] == 0:
+        axes[batch_axis] = "data"
+    sh = NamedSharding(mesh, P(*axes))
+    if jax.process_count() == 1:
+        return jax.device_put(x, sh)
+    return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+
+
 def host_local_rows(x) -> np.ndarray:
     """This process's rows of a batch-sharded global array (the rows it
     contributed via ``shard_batch``). Single-process: the whole array."""

@@ -17,7 +17,8 @@ from tim_tpu.evals.meters import LossAverager
 from tim_tpu.models import TimDetection
 from tim_tpu.models.queries import generate_query_pyramid
 from tim_tpu.parallel import make_mesh, shard_batch, shard_train_state
-from tim_tpu.parallel.mesh import host_local_rows, prefetch_to_device
+from tim_tpu.parallel.mesh import (
+    host_local_rows, prefetch_to_device, put_ids, replicate)
 from tim_tpu.parallel.multihost import allgather_host_arrays
 from tim_tpu.train import checkpoint as ckpt
 from tim_tpu.train import detection as steps
@@ -144,8 +145,12 @@ class DetectionRunner:
             self._bank_val = jax.jit(
                 lambda state, ids: base_val(state, _with_feats(ids)))
             self._bank_with_feats = _with_feats
+            # replicated outputs: extraction fetches per-chunk arrays with
+            # np.asarray, which multi-host requires to be fully replicated
+            # (identity on a single device)
             self._bank_infer = jax.jit(
-                lambda params, ids: base_infer(params, _with_feats(ids)))
+                lambda params, ids: base_infer(params, _with_feats(ids)),
+                out_shardings=replicate(self.mesh))
 
             # whole-split validation as ONE scan: losses sum on device,
             # single fetch (each per-batch fetch costs ~30ms RTT here).
@@ -187,10 +192,10 @@ class DetectionRunner:
         self._local_bs = tcfg.batch_size // nproc
         self._shard_args = dict(num_shards=nproc,
                                 shard_index=jax.process_index())
-        if use_device_bank and nproc > 1:
-            raise NotImplementedError(
-                "device-bank training is single-host (the bank would need "
-                "a globally sharded HBM table)")
+        # Device-bank paths work with process_count > 1 too: banks and
+        # tables are identical closure constants on every process, ids go
+        # through ``put_ids`` (one global SPMD program per step/scan), and
+        # the fetched outputs are replicated — no per-process state.
 
     # ------------------------------------------------------------------
     def init_state(self, rng: Optional[jax.Array] = None,
@@ -278,10 +283,12 @@ class DetectionRunner:
         import jax.numpy as jnp
         avg = LossAverager()
         epoch_rng = np.random.default_rng(self.tcfg.seed + epoch)
+        # seeded identically on every process, so multi-host runs stay in
+        # SPMD lockstep: same ids, same step count, same global batches
         order = epoch_rng.permutation(self._tables.num_windows)
         bs = self.tcfg.batch_size
         for i in range(0, len(order) - bs + 1, bs):
-            ids = jnp.asarray(order[i:i + bs], jnp.int32)
+            ids = put_ids(order[i:i + bs].astype(np.int32), self.mesh)
             self.state, metrics = self._bank_step(self.state, ids, rng)
             if (i // bs) % self.print_freq == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
@@ -306,19 +313,20 @@ class DetectionRunner:
             bs = self.tcfg.batch_size
             n = self._val_tables.num_windows
             n_chunks = n // bs           # same drop-last as before
-            # multi-host: round-robin chunks across processes (losses
-            # stay host-local averages, like the host-iterator path)
-            pc, pid = jax.process_count(), jax.process_index()
-            chunk_ids = np.arange(n_chunks)[pid::pc] if pc > 1 \
-                else np.arange(n_chunks)
-            if len(chunk_ids) > 0:
+            # multi-host: every process runs this SAME global scan (SPMD
+            # lockstep) with the chunk batch dim sharded over the data
+            # axis, so the scalar losses are globally consistent — the
+            # min-val-loss best-checkpoint and early-stop decisions in
+            # fit() stay identical on every process
+            if n_chunks > 0:
                 if not self._bank_loss_keys:
                     self._discover_loss_keys(self.state)
-                ids_mat = jnp.asarray(
-                    (chunk_ids[:, None] * bs
-                     + np.arange(bs)[None]).astype(np.int32))
+                ids_mat = put_ids(
+                    (np.arange(n_chunks)[:, None] * bs
+                     + np.arange(bs)[None]).astype(np.int32),
+                    self.mesh, batch_axis=1)
                 sums = self._bank_val_scan(self.state, ids_mat)
-                avg.update({k: float(v) / len(chunk_ids)
+                avg.update({k: float(v) / n_chunks
                             for k, v in sums.items()})
             return self._log_val(avg, epoch)
         for batch in batch_iterator(self.val_ds, self._local_bs,
@@ -414,7 +422,8 @@ class DetectionRunner:
                 bank = None
                 if self._bank_infer is not None:
                     wf = self._bank_with_feats
-                    bank = jax.jit(lambda p, ids: base(p, wf(ids)))
+                    bank = jax.jit(lambda p, ids: base(p, wf(ids)),
+                                   out_shardings=replicate(self.mesh))
                 self._topk_steps[top_k] = (jax.jit(base), bank)
             host_infer, bank_infer = self._topk_steps[top_k]
         win_idx, proposals, queries = [], [], []
@@ -452,22 +461,20 @@ class DetectionRunner:
                             val[:take])
 
         if bank_infer is not None and dataset is None:
-            # HBM-resident path: batches are just window-id ranges;
-            # multi-host: round-robin the ranges (the allgather +
-            # win_idx unique below merges/dedups across hosts)
+            # HBM-resident path: batches are just window-id ranges.
+            # Multi-host: every process runs the same global chunks (SPMD
+            # lockstep, batch dim data-sharded, replicated outputs); the
+            # allgather + win_idx unique below dedups the per-host copies
             bs = self.tcfg.batch_size
             n = self._val_tables.num_windows
-            starts = list(range(0, n, bs))
-            pc, pid = jax.process_count(), jax.process_index()
-            if pc > 1:
-                starts = starts[pid::pc] or starts[:1]
-            for i in starts:
+            for i in range(0, n, bs):
                 ids = np.arange(i, min(i + bs, n))
                 pad = bs - len(ids)
                 ids_p = np.concatenate([ids, np.full(pad, ids[-1])]) \
                     if pad else ids
                 out = bank_infer(self.state.params,
-                                 jnp.asarray(ids_p, jnp.int32))
+                                 put_ids(ids_p.astype(np.int32),
+                                         self.mesh))
                 out = {k: np.asarray(v) for k, v in out.items()}
                 collect(out, ids_p, len(ids))
         else:

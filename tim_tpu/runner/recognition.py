@@ -19,7 +19,8 @@ from tim_tpu.data.dataset import RecognitionDataset, batch_iterator
 from tim_tpu.evals.meters import LossAverager, WindowVoteAccumulator
 from tim_tpu.models import TimRecognition
 from tim_tpu.parallel import make_mesh, shard_batch, shard_train_state
-from tim_tpu.parallel.mesh import host_local_rows, prefetch_to_device
+from tim_tpu.parallel.mesh import (
+    host_local_rows, prefetch_to_device, put_ids, replicate)
 from tim_tpu.train import checkpoint as ckpt
 from tim_tpu.train import recognition as steps
 from tim_tpu.train.optim import make_optimizer
@@ -190,7 +191,7 @@ class RecognitionRunner:
                 return base_eval(params, batch)
 
             def _discover_loss_keys(params):
-                ids = jnp.zeros((self._local_bs,), jnp.int32)
+                ids = jnp.zeros((tcfg.batch_size,), jnp.int32)
                 shapes = jax.eval_shape(_with_feats_rec, params, ids)
                 loss_keys[:] = sorted(shapes[1].keys())
 
@@ -242,7 +243,11 @@ class RecognitionRunner:
                     body, (sums0, seen0, loss0), (ids_mat, valid_mat))
                 return sums, seen, loss_sum
 
-            self._bank_accum = jax.jit(accum_scan)
+            # replicated outputs: the host fetches the vote tables with
+            # plain np.asarray, which multi-host requires to be fully
+            # replicated (identity on a single device)
+            self._bank_accum = jax.jit(
+                accum_scan, out_shardings=replicate(self.mesh))
 
         self.state = None
         self.best = {"visual": 0.0, "visual_mt": 0.0, "audio": 0.0,
@@ -259,10 +264,10 @@ class RecognitionRunner:
         self._local_bs = tcfg.batch_size // nproc
         self._shard_args = dict(num_shards=nproc,
                                 shard_index=jax.process_index())
-        if use_device_bank and nproc > 1:
-            raise NotImplementedError(
-                "device-bank training is single-host (the bank would need "
-                "a globally sharded HBM table)")
+        # Device-bank paths work with process_count > 1 too: banks and
+        # tables are identical closure constants on every process, ids go
+        # through ``put_ids`` (one global SPMD program per step/scan), and
+        # the vote/loss outputs are replicated — no per-process state.
 
     # ------------------------------------------------------------------
     def init_state(self, rng: Optional[jax.Array] = None,
@@ -352,10 +357,12 @@ class RecognitionRunner:
                             rng: jax.Array) -> Dict[str, float]:
         avg = LossAverager()
         epoch_rng = np.random.default_rng(self.tcfg.seed + epoch)
+        # seeded identically on every process, so multi-host runs stay in
+        # SPMD lockstep: same ids, same step count, same global batches
         order = epoch_rng.permutation(self._tables.num_windows)
         bs = self.tcfg.batch_size
         for i in range(0, len(order) - bs + 1, bs):
-            ids = jnp.asarray(order[i:i + bs], jnp.int32)
+            ids = put_ids(order[i:i + bs].astype(np.int32), self.mesh)
             self.state, metrics = self._bank_step(self.state, ids, rng)
             if (i // bs) % self.print_freq == 0:
                 metrics = {k: float(v) for k, v in metrics.items()}
@@ -380,7 +387,7 @@ class RecognitionRunner:
             # fills the list accum_scan closes over, before first trace
             self._discover_loss_keys(self.state.params)
         tbl = self._val_tables
-        n, bs = tbl.num_windows, self._local_bs
+        n, bs = tbl.num_windows, self.tcfg.batch_size
         rows, valids = [], []
         for start in range(0, n, bs):
             chunk = np.arange(start, min(start + bs, n))
@@ -392,18 +399,16 @@ class RecognitionRunner:
             ok[:take] = True
             rows.append(chunk)
             valids.append(ok)
-        # multi-host: round-robin the id chunks across processes — each
-        # host scans only its share and reduce_across_processes merges
-        # the vote tables (the host-loop path shards via _shard_args)
-        pc, pid = jax.process_count(), jax.process_index()
-        if pc > 1:
-            rows, valids = rows[pid::pc], valids[pid::pc]
-            if not rows:  # keep the scan shape valid on idle hosts
-                rows = [np.zeros(bs, np.int64)]
-                valids = [np.zeros(bs, bool)]
+        # multi-host: every process runs this SAME global scan (SPMD
+        # lockstep); the chunk batch dim is sharded over the data axis,
+        # so the per-chunk compute splits across all devices of all
+        # hosts and the replicated outputs are globally consistent —
+        # validate() must NOT re-reduce them across processes
         sums, seen, loss_sum = self._bank_accum(
-            self.state.params, jnp.asarray(np.stack(rows), jnp.int32),
-            jnp.asarray(np.stack(valids)))
+            self.state.params,
+            put_ids(np.stack(rows).astype(np.int32), self.mesh,
+                    batch_axis=1),
+            put_ids(np.stack(valids), self.mesh, batch_axis=1))
         for h in acc.sums:
             acc.sums[h] += np.asarray(sums[h], np.float64)
         acc.seen += np.asarray(seen, np.float64)
@@ -455,14 +460,15 @@ class RecognitionRunner:
             self.val_ds.windows.num_actions, _head_spec(self.cfg))
         avg = LossAverager()
         if self._bank_accum is not None:
+            # one global SPMD scan: vote tables and losses come back
+            # already replicated/global — re-reducing would double-count
             self._run_bank_accum(acc, avg)
         else:
             for logits, losses, v_ids, a_ids, labels in \
                     self._eval_batches(self.val_ds):
                 acc.update(logits, v_ids, a_ids, labels)
                 avg.update({k: float(v) for k, v in losses.items()})
-
-        acc.reduce_across_processes()
+            acc.reduce_across_processes()
         stats = acc.summarize(self.dataset_name)
         stats.update(avg.averages())
         log_json_stats(self.logger, {"split": "val", "epoch": epoch + 1,
