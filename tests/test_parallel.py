@@ -165,3 +165,34 @@ def test_sequence_parallel_step_matches_single_device():
                     jax.tree_util.tree_leaves(s1.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-3)
+
+
+def test_put_ids_sharding_and_values():
+    """put_ids places identical host ids as a global array: batch axis
+    sharded over 'data' when divisible, fully replicated otherwise;
+    values round-trip exactly either way (runner/recognition.py bank
+    paths feed these into jit steps — multihost parity is covered by
+    tests/test_multihost.py bank mode)."""
+    from jax.sharding import PartitionSpec as P
+
+    from tim_tpu.parallel.mesh import put_ids
+
+    mesh = make_mesh(4, 2)
+    ids = np.arange(8, dtype=np.int32)
+    g = put_ids(ids, mesh)
+    assert g.sharding.spec == P("data")
+    np.testing.assert_array_equal(np.asarray(g), ids)
+
+    odd = np.arange(7, dtype=np.int32)
+    r = put_ids(odd, mesh)
+    assert r.sharding.spec == P(None)
+    np.testing.assert_array_equal(np.asarray(r), odd)
+
+    mat = np.arange(24, dtype=np.int32).reshape(3, 8)
+    m = put_ids(mat, mesh, batch_axis=1)
+    assert m.sharding.spec == P(None, "data")
+    np.testing.assert_array_equal(np.asarray(m), mat)
+
+    # jit consumers see the same values under the mesh
+    out = jax.jit(lambda x: x * 2 + 1)(g)
+    np.testing.assert_array_equal(np.asarray(out), ids * 2 + 1)

@@ -538,12 +538,14 @@ class RecognitionRunner:
         acc = WindowVoteAccumulator(
             ds.windows.num_actions, _head_spec(self.cfg))
         if self._bank_accum is not None and ds is self.val_ds:
+            # global SPMD scan: tables come back already replicated (a
+            # re-reduce would be mean-invariant here, but skip it like
+            # validate() does)
             self._run_bank_accum(acc)
         else:
             for logits, _, v_ids, a_ids, labels in self._eval_batches(ds):
                 acc.update(logits, v_ids, a_ids, labels)
-
-        acc.reduce_across_processes()
+            acc.reduce_across_processes()
 
         # narration-id tables in action-id order
         v_nid = {}
