@@ -66,6 +66,33 @@ def main():
     post = runner.validate()
     out = {f"pre_{k}": float(v) for k, v in pre.items()}
     out.update({f"post_{k}": float(v) for k, v in post.items()})
+
+    if use_bank:
+        # real multi-process orbax round-trip: every process participates
+        # in the save; restore-to-sharding must reproduce the live params
+        # exactly (compared on device — global arrays are not host-
+        # fetchable with process_count > 1)
+        import jax.numpy as jnp
+
+        from tim_tpu.parallel import param_shardings
+        from tim_tpu.train import checkpoint as ckpt
+
+        ckdir = f"{outfile}.ckpt{nproc}"
+        ckpt.save_checkpoint_orbax(ckdir, runner.state, epoch=1)
+        sh = param_shardings(runner.state.params, runner.mesh)
+        restored = ckpt.load_checkpoint_orbax(
+            ckdir, params_shardings=sh)["params"]
+
+        def tree_max_diff(a, b):
+            la = jax.tree_util.tree_leaves(a)
+            lb = jax.tree_util.tree_leaves(b)
+            assert len(la) == len(lb)
+            return sum(jnp.max(jnp.abs(x.astype(jnp.float32)
+                                       - y.astype(jnp.float32)))
+                       for x, y in zip(la, lb))
+
+        out["orbax_param_diff"] = float(
+            jax.jit(tree_max_diff)(restored, runner.state.params))
     out["process_count"] = jax.process_count()
     out["device_count"] = jax.device_count()
     if jax.process_index() == 0:

@@ -55,9 +55,14 @@ def test_two_process_training_matches_single(tmp_path, mode):
     """``bank`` runs the device-bank paths (banked train epoch +
     on-device vote-accumulation scan) as ONE global SPMD program per
     step on every process — ids data-sharded via ``put_ids``, replicated
-    outputs — and must be exactly layout-independent."""
+    outputs — and must be exactly layout-independent. It also does a
+    REAL multi-process orbax save + restore-to-sharding round-trip."""
     single = _run(1, tmp_path, mode=mode)
     double = _run(2, tmp_path, mode=mode)
+
+    if mode == "bank":
+        assert single["orbax_param_diff"] == 0.0
+        assert double["orbax_param_diff"] == 0.0
 
     assert double["process_count"] == 2
     assert double["device_count"] == 4
