@@ -93,6 +93,24 @@ def main():
 
         out["orbax_param_diff"] = float(
             jax.jit(tree_max_diff)(restored, runner.state.params))
+
+        # data-parallel params are fully REPLICATED, hence host-fetchable
+        # even when the mesh spans processes: the save routing must keep
+        # the msgpack path (master-only write, best copies, --resume) and
+        # the round-trip must be exact on np.asarray'd replicated leaves
+        out["msgpack_routed"] = float(ckpt.fully_addressable(runner.state))
+        if pid == 0:
+            mdir = f"{outfile}.mckpt{nproc}"
+            ckpt.save_checkpoint(mdir, runner.state, epoch=1,
+                                 is_best="loss")
+            payload = ckpt.load_checkpoint(mdir)
+            rs = ckpt.restore_train_state(runner.state, payload)
+            import numpy as np
+            out["msgpack_param_diff"] = max(
+                float(np.max(np.abs(np.asarray(x) - np.asarray(y))))
+                for x, y in zip(jax.tree_util.tree_leaves(rs.params),
+                                jax.tree_util.tree_leaves(
+                                    runner.state.params)))
     out["process_count"] = jax.process_count()
     out["device_count"] = jax.device_count()
     if jax.process_index() == 0:

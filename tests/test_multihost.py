@@ -63,6 +63,10 @@ def test_two_process_training_matches_single(tmp_path, mode):
     if mode == "bank":
         assert single["orbax_param_diff"] == 0.0
         assert double["orbax_param_diff"] == 0.0
+        # replicated (data-parallel) states stay on the msgpack save
+        # path even multi-host, and round-trip exactly
+        assert double["msgpack_routed"] == 1.0
+        assert double["msgpack_param_diff"] == 0.0
 
     assert double["process_count"] == 2
     assert double["device_count"] == 4

@@ -140,10 +140,12 @@ def main(argv=None):
         task=args.task, challenge=challenge,
         challenge_json_path=args.challenge_json or None,
         num_nouns=args.noun_count)
-    if args.num_classes:
-        num_classes = args.num_classes
-    elif not isinstance(scores, tuple):
+    if not isinstance(scores, tuple):
+        # dense dumps carry their own width — authoritative, never
+        # widened by --num_classes (that flag exists for top-k dumps)
         num_classes = int(scores.shape[-1])
+    elif args.num_classes:
+        num_classes = args.num_classes
     else:
         # top-k dumps only carry referenced class ids, so a bound derived
         # from them cannot catch out-of-range labels — say so instead of

@@ -138,9 +138,8 @@ class Int8Dense(nn.Module):
                 return int8_matmul_fused(
                     x, kernel_q, scale, self.act_scale_const, bias=bias,
                     block_m=256, out_dtype=self.dtype)
-            y = int8_matmul_static(x, kernel_q, scale,
-                                   self.act_scale_const)
-        elif self.static_acts and self.act_scale_const > 0.0:
+            # non-TPU: fall through to the XLA static path below
+        if self.static_acts and self.act_scale_const > 0.0:
             y = int8_matmul_static(x, kernel_q, scale,
                                    self.act_scale_const)
         elif self.static_acts:

@@ -106,7 +106,18 @@ def int8_matmul_fused(
 
 
 def supports_pallas_int8() -> bool:
+    """Mosaic int8 kernels need a TPU backend ("tpu" is also what the
+    axon relay device reports). Logs when the opt-in kernel is
+    unavailable so the XLA-static fallback is never silent."""
     try:
-        return jax.devices()[0].platform == "tpu"
+        ok = ("tpu" in jax.devices()[0].platform.lower()
+              or jax.default_backend() == "tpu")
     except Exception:  # pragma: no cover
         return False
+    if not ok:
+        import logging
+        logging.getLogger(__name__).info(
+            "quant_pallas_heads requested but backend %r (platform %r) "
+            "has no Mosaic TPU support — using the XLA int8 static path",
+            jax.default_backend(), jax.devices()[0].platform)
+    return ok

@@ -127,6 +127,9 @@ def shard_batch(batch, mesh: Mesh):
             x, sh if np.ndim(x) >= 1 else scalar), batch)
 
 
+_put_ids_warned = set()
+
+
 def put_ids(x, mesh: Mesh, batch_axis: int = 0):
     """Place an ids/mask array that is IDENTICAL on every process as a
     global array with ``batch_axis`` sharded over ``data`` (replicated
@@ -140,8 +143,20 @@ def put_ids(x, mesh: Mesh, batch_axis: int = 0):
     on multi-device meshes."""
     x = np.asarray(x)
     axes = [None] * x.ndim
-    if x.shape[batch_axis] % mesh.shape["data"] == 0:
+    data = mesh.shape["data"]
+    if x.shape[batch_axis] % data == 0:
         axes[batch_axis] = "data"
+    elif data > 1:
+        key = (x.shape[batch_axis], data)
+        if key not in _put_ids_warned:  # once per (size, mesh) pair
+            _put_ids_warned.add(key)
+            import logging
+            logging.getLogger(__name__).warning(
+                "put_ids: id axis %d does not divide the data axis (%d) "
+                "— falling back to REPLICATED ids, so every device runs "
+                "the full batch; pick a batch size divisible by the "
+                "data-axis size to data-parallelize the bank paths",
+                x.shape[batch_axis], data)
     sh = NamedSharding(mesh, P(*axes))
     if jax.process_count() == 1:
         return jax.device_put(x, sh)

@@ -120,8 +120,10 @@ class BackboneFinetuneRunner:
                  layer_decay: float = 0.75, weight_decay: float = 0.05,
                  mixup_alpha: float = 0.8, smoothing: float = 0.1,
                  warmup_epochs: int = 0, seed: int = 0,
+                 rng_impl: str = "rbg",
                  output_dir: Optional[str] = None):
         self.model = model
+        self.rng_impl = rng_impl
         self.train_ds = train_ds
         self.val_ds = val_ds
         self.batch_size = batch_size
@@ -167,7 +169,9 @@ class BackboneFinetuneRunner:
     def fit(self) -> Dict[str, float]:
         if self.state is None:
             self.init_state()
-        rng = training_rng(self.seed)
+        # same knob as TrainConfig.rng_impl: "threefry2x32" restores
+        # bit-exact historical dropout/mixup draws
+        rng = training_rng(self.seed, self.rng_impl)
         metrics = {}
         for epoch in range(self.epochs):
             ep_rng = np.random.default_rng(self.seed + epoch)

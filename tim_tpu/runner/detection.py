@@ -280,7 +280,6 @@ class DetectionRunner:
 
     def _train_epoch_banked(self, epoch: int,
                             rng) -> Dict[str, float]:
-        import jax.numpy as jnp
         avg = LossAverager()
         epoch_rng = np.random.default_rng(self.tcfg.seed + epoch)
         # seeded identically on every process, so multi-host runs stay in

@@ -24,13 +24,18 @@ def _to_host(tree):
 
 
 def fully_addressable(state) -> bool:
-    """True when every array leaf of ``state`` lives entirely on this
-    process's devices — the precondition for the msgpack path, whose
-    ``_to_host`` (np.asarray per leaf) cannot materialize shards held by
-    other hosts. Cross-host model-parallel params must go through
+    """True when every array leaf of ``state`` is host-fetchable by this
+    process — the precondition for the msgpack path, whose ``_to_host``
+    (np.asarray per leaf) cannot materialize shards held only by other
+    hosts. Fully-REPLICATED leaves qualify even when their sharding spans
+    other processes (jax serves them from a local shard), so ordinary
+    multi-host data-parallel states keep the msgpack path (master-only
+    write, best-variant copies, ``--resume`` compatible); only genuinely
+    cross-host-sharded (model-parallel) states must go through
     ``save_checkpoint_orbax`` (each host writes its own shards)."""
     return all(
         getattr(leaf, "is_fully_addressable", True)
+        or getattr(leaf, "is_fully_replicated", False)
         for leaf in jax.tree_util.tree_leaves(state))
 
 
@@ -67,8 +72,17 @@ def save_checkpoint(
 
 
 def load_checkpoint(path: str) -> Dict[str, Any]:
+    """Read ``<path>/checkpoint.msgpack`` (or a ``.msgpack`` file path).
+    Falls back to the newest ``<path>/orbax/<epoch>`` checkpoint when no
+    msgpack file exists, so ``--resume``/``--pretrained_model`` work on
+    output dirs written by orbax-routed runs (cross-host-sharded saves);
+    pass ``params_shardings`` to ``load_checkpoint_orbax`` directly to
+    restore large params straight to their mesh placement instead."""
     fname = path if path.endswith(".msgpack") else os.path.join(
         path, "checkpoint.msgpack")
+    if (not os.path.exists(fname) and not path.endswith(".msgpack")
+            and os.path.isdir(os.path.join(path, "orbax"))):
+        return load_checkpoint_orbax(path)
     with open(fname, "rb") as f:
         return serialization.msgpack_restore(f.read())
 
