@@ -378,3 +378,34 @@ def test_orbax_checkpoint_roundtrip_and_sharded_restore(tmp_path):
         np.asarray(restored["dense"]["kernel"]),
         params["dense"]["kernel"])
     assert restored["dense"]["kernel"].sharding.mesh.shape["data"] == 8
+
+
+def test_load_checkpoint_orbax_fallback(tmp_path):
+    """``load_checkpoint`` on an output dir that only has orbax
+    checkpoints (cross-host-sharded runs route saves there) falls back
+    to the newest orbax epoch, so --resume/--pretrained_model work on
+    such dirs."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from tim_tpu.train import checkpoint as ckpt
+    from tim_tpu.train.optim import make_optimizer
+    from tim_tpu.train.state import create_train_state
+
+    params = {"w": np.arange(12, dtype=np.float32).reshape(3, 4)}
+    tx = make_optimizer(1e-3, 1e-4, 10, 2)
+    state = create_train_state(
+        jax.tree_util.tree_map(jnp.asarray, params), tx, normaliser=2.0)
+    ckpt.save_checkpoint_orbax(str(tmp_path), state, epoch=4)
+    assert not os.path.exists(tmp_path / "checkpoint.msgpack")
+
+    payload = ckpt.load_checkpoint(str(tmp_path))
+    assert int(payload["epoch"]) == 4
+    np.testing.assert_array_equal(np.asarray(payload["params"]["w"]),
+                                  params["w"])
+
+    # explicit .msgpack paths never fall back
+    with pytest.raises(FileNotFoundError):
+        ckpt.load_checkpoint(str(tmp_path / "nope.msgpack"))
