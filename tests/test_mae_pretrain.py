@@ -152,10 +152,13 @@ def test_pretrain_overfit_single_batch():
     vis, msk = jnp.asarray(vis), jnp.asarray(msk)
 
     params = model.init(jax.random.PRNGKey(0), video, vis, msk)["params"]
-    state = create_train_state(params, optax.adam(3e-3))
+    # faithful trunc_normal(0.02) inits (VideoMAE _init_weights) start
+    # much smaller than flax defaults, so this tiny overfit needs a
+    # slightly higher lr / more steps than it did with lecun_normal
+    state = create_train_state(params, optax.adam(1e-2))
     step = jax.jit(make_pretrain_step(model, state.tx))
     first = None
-    for _ in range(60):
+    for _ in range(120):
         state, metrics = step(state, video, vis, msk)
         first = first if first is not None else float(metrics["loss"])
     assert float(metrics["loss"]) < 0.5 * first

@@ -63,10 +63,10 @@ def det_bundle():
         visual_input_dim=24, audio_input_dim=16, d_model=16, nhead=2,
         num_layers=2, num_feats=num_feats, compute_dtype="float32",
         train_query_size=0.05, inference_query_size=0.1)
-    # 10 epochs @ 3e-3 lands fp32 avg-mAP ~0.105 with measured int8 /
-    # headline relative deltas of 0.4% / 1.9% (deterministic seeds) —
-    # strong enough that the 2%-relative contract below is meaningful
-    tcfg = C.TrainConfig(batch_size=8, epochs=10, warmup_epochs=0, lr=3e-3,
+    # 15 epochs @ 3e-3 (deterministic seeds; rebaselined after the
+    # torch-MHA-faithful packed-qkv init landed) — strong enough that
+    # the 2%-relative contract below is meaningful
+    tcfg = C.TrainConfig(batch_size=8, epochs=15, warmup_epochs=0, lr=3e-3,
                          lambda_drloc=0.0, normaliser_init=30.0,
                          mixup_alpha=0.0)
     runner = DetectionRunner(cfg, tcfg, ds, ds, print_freq=50)
@@ -138,15 +138,19 @@ def test_detection_int8_mAP_delta(det_bundle):
     assert n_dets >= 10, f"fp32 produced only {n_dets} detections"
     # ... and a non-trivial mAP so a RELATIVE bound means something
     assert maps["fp32"] >= 0.08, f"fp32 avg mAP too low: {maps}"
-    # documented serving contract: avg-mAP degradation <= 2% RELATIVE
+    # documented serving contract: avg-mAP DEGRADATION <= 2% RELATIVE
     # (with a 0.005 absolute noise floor), for int8 alone AND for the
-    # headline int8+bf16-scores combo. The old |delta| <= 0.02 absolute
+    # headline int8+bf16-scores combo. Signed, not |delta|: quantization
+    # coming out BETTER than fp32 (it does at this fixture scale, where
+    # AP rides on the ranking of a handful of detections) cannot fail an
+    # accuracy-degradation contract. The old |delta| <= 0.02 absolute
     # bound would wave through ~10% relative damage at EPIC's ~0.2 mAP.
     for tag in ("int8", "headline"):
-        delta = abs(maps[tag] - maps["fp32"])
+        degradation = maps["fp32"] - maps[tag]
         bound = max(0.02 * maps["fp32"], 0.005)
-        assert delta <= bound, (
-            f"{tag} mAP delta {delta:.4f} > {bound:.4f} (maps {maps})")
+        assert degradation <= bound, (
+            f"{tag} mAP degradation {degradation:.4f} > {bound:.4f} "
+            f"(maps {maps})")
 
     # detection-level agreement: top-scoring segments overlap
     for vid in b["durations"]:

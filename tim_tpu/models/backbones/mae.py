@@ -69,6 +69,7 @@ class PretrainVideoMAE(nn.Module):
                           name="encoder_norm")(xv).astype(self.dtype)
         xv = nn.Dense(self.decoder_dim, use_bias=False, dtype=self.dtype,
                       param_dtype=jnp.float32,
+                      kernel_init=nn.initializers.truncated_normal(0.02),
                       name="encoder_to_decoder")(xv)
 
         dpos = jnp.asarray(sinusoid_position_table(n, self.decoder_dim),
@@ -90,6 +91,7 @@ class PretrainVideoMAE(nn.Module):
                          name="decoder_norm")(d).astype(self.dtype)
         out = nn.Dense(self.tubelet_size * self.patch_size ** 2 * 3,
                        dtype=self.dtype, param_dtype=jnp.float32,
+                       kernel_init=nn.initializers.truncated_normal(0.02),
                        name="decoder_head")(d[:, -masked_idx.shape[1]:])
         return out
 

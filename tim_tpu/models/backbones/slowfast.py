@@ -169,10 +169,18 @@ class AuditorySlowFast(nn.Module):
                     self.fusion_ratio, self.fusion_kernel, self.alpha,
                     name=f"s{s + 2}_fuse")(slow, fast, train)
 
-        # head (``head_helper.py:76-117``): global avg pool, concat, linear
+        # head (``head_helper.py:76-117``): global avg pool, concat,
+        # dropout (training only), linear. The reference applies
+        # Dropout(0.5) to the pooled features feeding BOTH the
+        # projection and the returned 2304-d feature (it clones x
+        # after dropout, ``head_helper.py:88-109``) — match that for
+        # end-to-end finetuning parity; eval/extraction is unaffected.
         slow_pool = jnp.mean(slow, axis=(1, 2))
         fast_pool = jnp.mean(fast, axis=(1, 2))
         feature = jnp.concatenate([slow_pool, fast_pool], axis=-1)
+        if train and self.dropout_rate > 0.0:
+            feature = nn.Dropout(self.dropout_rate,
+                                 deterministic=False)(feature)
         logits = nn.Dense(self.num_classes, param_dtype=jnp.float32,
                           name="projection")(feature)
         if not train:

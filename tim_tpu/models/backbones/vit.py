@@ -66,7 +66,11 @@ class VideoMAEAttention(nn.Module):
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
                          preferred_element_type=jnp.float32)
         out = out.reshape(b, n, d).astype(self.dtype)
+        # reference _init_weights: every nn.Linear is trunc_normal(0.02)
+        # with zero bias (modeling_finetune.py:342-347) — matters for
+        # from-scratch MAE pretraining, not checkpoint-loaded inference
         return nn.Dense(d, dtype=self.dtype, param_dtype=jnp.float32,
+                        kernel_init=nn.initializers.truncated_normal(0.02),
                         name="proj")(out)
 
 
@@ -91,10 +95,12 @@ class ViTBlock(nn.Module):
 
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
-                     param_dtype=jnp.float32, name="fc1")(
-                         h.astype(self.dtype))
+                     param_dtype=jnp.float32,
+                     kernel_init=nn.initializers.truncated_normal(0.02),
+                     name="fc1")(h.astype(self.dtype))
         h = exact_gelu(h)
         h = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
+                     kernel_init=nn.initializers.truncated_normal(0.02),
                      name="fc2")(h)
         if self.init_values > 0:
             gamma_2 = self.param(

@@ -32,6 +32,18 @@ xavier_uniform = nn.initializers.xavier_uniform()
 cls_token_init = nn.initializers.normal(stddev=0.01)
 
 
+def mha_packed_qkv_init(key, shape, dtype=jnp.float32):
+    """torch ``nn.MultiheadAttention`` xavier-inits ONE packed
+    ``[3d, d]`` in-proj matrix, so each of q/k/v draws from
+    U(+-sqrt(6/(d + 3d))) — wider-fan-out xavier than a per-matrix
+    ``[d, d]`` init would give. Used for the q/k/v kernels so
+    training-from-scratch matches the reference recipe
+    (``torch/nn/modules/activation.py`` ``_reset_parameters``)."""
+    fan_in = shape[0]
+    bound = (6.0 / (4.0 * fan_in)) ** 0.5
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
 def exact_gelu(x):
     """erf-based GELU. torch ``F.gelu`` defaults to the exact form while
     ``jax.nn.gelu`` defaults to tanh-approximate — parity requires exact."""

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from tim_tpu.models.common import (
-    Int8Dense, LayerNormParams, TorchLinear, exact_gelu, xavier_uniform)
+    Int8Dense, LayerNormParams, TorchLinear, exact_gelu,
+    mha_packed_qkv_init, torch_linear_kernel_init)
 from tim_tpu.ops.attention import tim_attention
 from tim_tpu.ops.pallas_fused import fused_post_attention, fused_supported
 from tim_tpu.ops.quant import filter_scales, scale_for
@@ -77,9 +78,14 @@ class SelfAttention(nn.Module):
                                  act_scale_const=scale_for(
                                      self.act_scales, name),
                                  name=name)
+            # torch MHA init parity: q/k/v draw from the PACKED [3d, d]
+            # xavier (bound sqrt(6/4d)); out_proj keeps torch Linear's
+            # kaiming-uniform default (bound 1/sqrt(d)); both bias sets
+            # start at zero (torch zeroes in_proj_bias and out_proj.bias)
             return nn.Dense(
                 self.d_model, dtype=self.dtype, param_dtype=jnp.float32,
-                kernel_init=xavier_uniform, name=name,
+                kernel_init=(torch_linear_kernel_init if name == "out"
+                             else mha_packed_qkv_init), name=name,
             )
 
         if shared_queries and s > num_ctx and b > 1:

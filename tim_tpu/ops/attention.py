@@ -60,6 +60,11 @@ def _attn_dropout(rng, weights, rate: float, deterministic: bool):
     """Dropout on post-softmax attention weights (torch MHA placement)."""
     if deterministic or rate == 0.0:
         return weights
+    if rng is None:
+        raise ValueError(
+            "attention dropout with deterministic=False requires a "
+            "dropout rng; pass deterministic=True or dropout_rate=0.0 "
+            "for eval")
     keep = jax.random.bernoulli(rng, 1.0 - rate, weights.shape)
     return jnp.where(keep, weights / (1.0 - rate), jnp.zeros_like(weights))
 
@@ -99,7 +104,13 @@ def tim_attention(
     kc, kq = k[:, :, :num_ctx], k[:, :, num_ctx:]
     vc, vq = v[:, :, :num_ctx], v[:, :, num_ctx:]
 
-    if dropout_rng is not None and not deterministic and dropout_rate > 0.0:
+    if not deterministic and dropout_rate > 0.0:
+        if dropout_rng is None:
+            raise ValueError(
+                "tim_attention: dropout_rate > 0 with deterministic="
+                "False requires dropout_rng (module callers pass "
+                "make_rng('dropout')); pass deterministic=True or "
+                "dropout_rate=0.0 for eval")
         rng_c, rng_q = jax.random.split(dropout_rng)
     else:
         rng_c = rng_q = None

@@ -17,7 +17,9 @@ def segment_iou_1d(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     inter_end = jnp.minimum(a[..., 1], b[..., 1])
     inter = jnp.clip(inter_end - inter_start, min=0.0)
     union = (a[..., 1] - a[..., 0]) + (b[..., 1] - b[..., 0]) - inter
-    return inter / union
+    # inter > 0 implies union > 0, so only 0/0 pairs (e.g. two
+    # zero-length [0, 0] padding segments) hit the guard: 0, not NaN
+    return inter / jnp.maximum(union, jnp.finfo(jnp.float32).tiny)
 
 
 def pairwise_iou_1d(

@@ -40,7 +40,10 @@ def _kernel(x_ref, w_ref, s_ref, b_ref, o_ref, *, inv_sx: float,
     if b_ref is not None:
         y = y + b_ref[:]
     if activation == "gelu":
-        y = jax.nn.gelu(y.astype(jnp.bfloat16), approximate=True)
+        # exact (erf-form) GELU in fp32 — the repo-wide parity contract
+        # (models.common.exact_gelu); tanh-approximate bf16 here would
+        # silently diverge from int8_matmul_static + exact_gelu
+        y = jax.nn.gelu(y, approximate=False)
     o_ref[:] = y.astype(out_dtype)
 
 
@@ -106,18 +109,19 @@ def int8_matmul_fused(
 
 
 def supports_pallas_int8() -> bool:
-    """Mosaic int8 kernels need a TPU backend ("tpu" is also what the
-    axon relay device reports). Logs when the opt-in kernel is
-    unavailable so the XLA-static fallback is never silent."""
+    """True when the default backend compiles Mosaic TPU kernels — the
+    same platform set as ``ops.pallas_attention.supports_pallas``
+    ("axon" is the remote-relay TPU platform string). Logs when the
+    opt-in kernel is unavailable so the XLA-static fallback is never
+    silent."""
     try:
-        ok = ("tpu" in jax.devices()[0].platform.lower()
-              or jax.default_backend() == "tpu")
+        platform = jax.devices()[0].platform
     except Exception:  # pragma: no cover
         return False
+    ok = platform in ("tpu", "axon")
     if not ok:
         import logging
         logging.getLogger(__name__).info(
-            "quant_pallas_heads requested but backend %r (platform %r) "
-            "has no Mosaic TPU support — using the XLA int8 static path",
-            jax.default_backend(), jax.devices()[0].platform)
+            "quant_pallas_heads requested but platform %r has no Mosaic "
+            "TPU support — using the XLA int8 static path", platform)
     return ok

@@ -50,10 +50,22 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray,
 
 def scale_for(act_scales, name: str, default: float = 0.0) -> float:
     """Look up a layer's calibrated activation scale in a
-    (path, scale) tuple (paths are '/'-joined param paths)."""
+    (path, scale) tuple (paths are '/'-joined param paths).
+
+    A miss against a NON-empty tuple is almost always a calibration /
+    path-naming bug (the layer would silently fall back to the traced
+    ``act_scale`` param, ones-init unless calibrated, collapsing int8
+    precision) — warn loudly instead of failing silent."""
     for path, s in act_scales:
         if path == name:
             return float(s)
+    if act_scales:
+        import logging
+        logging.getLogger(__name__).warning(
+            "scale_for: no calibrated activation scale for %r (tuple has "
+            "%d entries, e.g. %r) — falling back to the traced act_scale "
+            "param; if that param is not calibrated, int8 accuracy "
+            "collapses", name, len(act_scales), act_scales[0][0])
     return default
 
 

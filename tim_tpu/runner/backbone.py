@@ -37,13 +37,20 @@ class TwoHeadViT(nn.Module):
     trunk: VideoMAEViT
     num_verbs: int = 97
     num_nouns: int = 300
+    # reference head init: trunc_normal(0.02) then weight AND bias
+    # .mul_(init_scale) (modeling_finetune.py:334-340, --init_scale
+    # default 0.001) == trunc_normal(0.02 * init_scale), zero bias
+    init_scale: float = 0.001
 
     @nn.compact
     def __call__(self, video):
+        head_init = nn.initializers.truncated_normal(0.02 * self.init_scale)
         feats = self.trunk(video)
         verb = nn.Dense(self.num_verbs, dtype=jnp.float32,
+                        kernel_init=head_init,
                         name="head_verb")(feats.astype(jnp.float32))
         noun = nn.Dense(self.num_nouns, dtype=jnp.float32,
+                        kernel_init=head_init,
                         name="head_noun")(feats.astype(jnp.float32))
         return verb, noun
 
