@@ -150,7 +150,7 @@ class DetectionDataset:
         audio_store: Optional[FeatureStore],
         rng: Optional[np.random.Generator] = None,
         sample_augmentations: bool = True,
-        verb_only: bool = False,
+        verb_only: bool = True,   # reference default, sliding_window.py:55
         include_verb_noun: bool = False,
         dataset_name: str = "epic",
     ):

@@ -74,6 +74,27 @@ def window_index_table(windows: WindowSet,
     ]).astype(np.int32)
 
 
+def _check_aligned_banks(v_bank: Optional[DeviceFeatureBank],
+                         a_bank: Optional[DeviceFeatureBank]) -> None:
+    """The window tables build ONE global index table and gather BOTH
+    banks with it, which is only correct when the two banks have
+    identical per-video row layouts. A single extra row in one modality
+    of one video would shift every later video's rows — in-bounds
+    indices, silently corrupted features — so fail loudly instead."""
+    if v_bank is None or a_bank is None:
+        return
+    if (v_bank.offsets != a_bank.offsets
+            or v_bank.bank.shape[0] != a_bank.bank.shape[0]):
+        bad = sorted(k for k in (set(v_bank.offsets) | set(a_bank.offsets))
+                     if v_bank.offsets.get(k) != a_bank.offsets.get(k))
+        raise ValueError(
+            "visual/audio feature banks are row-misaligned; the shared "
+            "window index table requires identical per-video row counts "
+            f"(totals {v_bank.bank.shape[0]} vs {a_bank.bank.shape[0]}; "
+            f"first differing videos: {bad[:3]}). Re-extract the two "
+            "modalities on a common feature-time grid.")
+
+
 class DeviceWindowTables:
     """Everything a recognition train step needs, resident on device:
     per-window feature-row indices, normalized times, padded labels. A
@@ -88,10 +109,9 @@ class DeviceWindowTables:
         ws = windows
         nv, na = ws.max_visual_actions, ws.max_audio_actions
         n = len(ws.windows)
+        _check_aligned_banks(v_bank, a_bank)
         ref_bank = v_bank or a_bank
-        feat_idx = np.stack([
-            ref_bank.global_indices(w.video_id, w.feat_indices)
-            for w in ws.windows]).astype(np.int32)
+        feat_idx = window_index_table(ws, ref_bank)
 
         nf = feat_idx.shape[1]
         n_mod = (v_bank is not None) + (a_bank is not None)
@@ -158,17 +178,16 @@ class DetectionWindowTables:
                  a_bank: Optional[DeviceFeatureBank],
                  v_feat_times: Optional[Dict[str, np.ndarray]] = None,
                  a_feat_times: Optional[Dict[str, np.ndarray]] = None,
-                 *, verb_only: bool = False,
+                 *, verb_only: bool = True,  # reference default
                  include_verb_noun: bool = False,
                  dataset_name: str = "epic"):
         ws = windows
         nv = max(ws.max_visual_actions, 1)
         na = max(ws.max_audio_actions, 1)
         n = len(ws.windows)
+        _check_aligned_banks(v_bank, a_bank)
         ref_bank = v_bank or a_bank
-        feat_idx = np.stack([
-            ref_bank.global_indices(w.video_id, w.feat_indices)
-            for w in ws.windows]).astype(np.int32)
+        feat_idx = window_index_table(ws, ref_bank)
         nf = feat_idx.shape[1]
         n_mod = (v_bank is not None) + (a_bank is not None)
 

@@ -136,8 +136,11 @@ def random_erasing(
             eh = int(round(np.sqrt(area * aspect)))
             ew = int(round(np.sqrt(area / aspect)))
             if eh < h and ew < w and eh > 0 and ew > 0:
-                top = rng.randrange(0, h - eh)
-                left = rng.randrange(0, w - ew)
+                # randint is INCLUSIVE of img_h - h in the reference
+                # (random_erasing.py:106-107) — randrange would make the
+                # bottom/right-most placement unreachable
+                top = rng.randint(0, h - eh)
+                left = rng.randint(0, w - ew)
                 if np_rng is None:
                     np_rng = np.random.default_rng(rng.randrange(2 ** 31))
                 noise = np_rng.normal(size=(eh, ew, c))

@@ -99,6 +99,13 @@ class TemporalCenteringProgressiveMasking:
 
     def __init__(self, input_size: Tuple[int, int, int], mask_ratio: float):
         self.frames, self.height, self.width = input_size
+        # the mirrored keep list has 2*(frames//2) entries; the reference
+        # indexes it for every frame, so odd frame counts are out of its
+        # domain (it would IndexError) — fail loudly instead of leaving
+        # the last frame silently unmasked
+        assert self.frames % 2 == 0, (
+            "TemporalCenteringProgressiveMasking requires an even frame "
+            f"count (got {self.frames}); VideoMAE tubelets are size 2")
         self.num_patches_per_frame = self.height * self.width
         max_keep = int((1 - mask_ratio) * self.num_patches_per_frame)
         min_keep = int((1 - 0.95) * self.num_patches_per_frame)

@@ -11,7 +11,6 @@ from __future__ import annotations
 import os
 import shutil
 import subprocess
-from concurrent.futures import ProcessPoolExecutor
 from typing import Dict, Iterable, Optional, Tuple
 
 
@@ -75,12 +74,17 @@ def extract_frames_parallel(
     workers: int = 8,
     fps: Optional[float] = None,
 ) -> Dict[str, int]:
-    """Fan out frame extraction over processes
-    (``extract_frames.py:43-44`` uses a Pool(40))."""
+    """Fan out frame extraction over a thread pool
+    (``extract_frames.py:43-44`` uses a Pool(40)). Threads, not
+    processes: the work is ffmpeg subprocesses (the GIL is released
+    waiting on them), and a process pool cannot pickle a local closure.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
     def one(item):
         vid, path = item
         return vid, extract_frames(
             path, os.path.join(frames_root, vid), fps=fps)
 
-    with ProcessPoolExecutor(max_workers=workers) as pool:
+    with ThreadPoolExecutor(max_workers=workers) as pool:
         return dict(pool.map(one, videos.items()))

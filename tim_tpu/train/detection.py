@@ -31,19 +31,23 @@ def _flat(x):
 def _modality_losses(
     cls_logits, reg_preds, targets, labels, ious,
     cfg: DetectionConfig, tcfg: TrainConfig, normaliser, modality: str,
+    *, update_normaliser: bool = True,
 ):
     """Focal cls (IoU-weighted) + DIoU reg for one modality, following
     ``detection/scripts/train.py:222-341``. Returns (cls_loss, reg_loss,
-    new_normaliser, num_pos)."""
+    new_normaliser, num_pos). ``update_normaliser=False`` divides by the
+    incoming value unchanged — the reference's validation semantics
+    (``test.py:77-85`` takes a FIXED normaliser and never advances it)."""
     flat_targets = _flat(targets)
     flat_ious = ious.reshape(-1)
     positives = jnp.isfinite(flat_targets[:, 0])
     num_pos = jnp.sum(positives)
 
-    # EMA normaliser of the positive count (``train.py:232``).
-    normaliser = (tcfg.normaliser_momentum * normaliser
-                  + (1.0 - tcfg.normaliser_momentum)
-                  * jnp.maximum(num_pos.astype(jnp.float32), 1.0))
+    if update_normaliser:
+        # EMA normaliser of the positive count (``train.py:232``).
+        normaliser = (tcfg.normaliser_momentum * normaliser
+                      + (1.0 - tcfg.normaliser_momentum)
+                      * jnp.maximum(num_pos.astype(jnp.float32), 1.0))
 
     # Queries below the IoU threshold get weight 1.0, positives their IoU
     # (``train.py:230``; post-fix semantics, see detection/README.md:3-8).
@@ -283,18 +287,18 @@ def make_val_step(
             v_targets, v_labels, v_ious = Q.label_queries(
                 queries, batch["v_gt_segments"], v_labels_raw,
                 cfg.iou_threshold)
-            v_cls, v_reg, norm, _ = _modality_losses(
+            v_cls, v_reg, _, _ = _modality_losses(
                 cls_logits, reg_preds[0], v_targets, v_labels, v_ious,
-                cfg, tcfg, norm, "visual")
+                cfg, tcfg, norm, "visual", update_normaliser=False)
             metrics.update(loss_visual=v_cls, loss_visual_reg=v_reg)
             total = total + v_cls + v_reg
         if has_audio:
             a_targets, a_labels, a_ious = Q.label_queries(
                 queries, batch["a_gt_segments"],
                 batch["class_id"][..., None], cfg.iou_threshold)
-            a_cls, a_reg, norm, _ = _modality_losses(
+            a_cls, a_reg, _, _ = _modality_losses(
                 cls_logits, reg_preds[1], a_targets, a_labels, a_ious,
-                cfg, tcfg, norm, "audio")
+                cfg, tcfg, norm, "audio", update_normaliser=False)
             metrics.update(loss_audio=a_cls, loss_audio_reg=a_reg)
             if has_visual:
                 total = total + tcfg.lambda_audio * (a_cls + a_reg)

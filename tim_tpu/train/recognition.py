@@ -35,14 +35,10 @@ def _head_losses(
     verb_l, noun_l, action_l, audio_l = logits
 
     def mix_ce(head_logits, labels):
-        flat_logits = _flat(head_logits)
-        la = labels.reshape(-1)
-        lb = labels[perm].reshape(-1)
-        loss_a = L.cross_entropy(
-            flat_logits, la, label_smoothing=tcfg.label_smoothing)
-        loss_b = L.cross_entropy(
-            flat_logits, lb, label_smoothing=tcfg.label_smoothing)
-        return lam * loss_a + (1.0 - lam) * loss_b
+        return L.mixup_cross_entropy(
+            _flat(head_logits), labels.reshape(-1),
+            labels[perm].reshape(-1), lam,
+            label_smoothing=tcfg.label_smoothing)
 
     out = {}
     visual_loss = jnp.float32(0.0)
