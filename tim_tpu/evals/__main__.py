@@ -104,6 +104,19 @@ def main(argv=None):
     score_key, prop_key = TASK_KEYS[args.task]
 
     dump = np.load(args.dump, allow_pickle=True)
+    if (score_key not in dump
+            and f"{score_key}_topk_values" not in dump
+            and args.task in ("verb", "noun")
+            and ("action" in dump or "action_topk_values" in dump)):
+        # verb/noun-stream models (the reference DEFAULT: verb_only,
+        # visual_classes=(97,)) dump their single head under 'action';
+        # the reference formatter reads outs['action'] for EVERY task
+        # (format_predictions_epic.py:118-130) — the task only changes
+        # how GT labels decode. Fall back to it.
+        print(f"note: dump has no '{score_key}' head — using the "
+              f"single-stream 'action' scores (reference semantics for "
+              f"a {args.task}-stream model)", file=sys.stderr)
+        score_key = "action"
     if score_key in dump:
         scores = dump[score_key]
     elif f"{score_key}_topk_values" in dump:
@@ -169,4 +182,4 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    sys.exit(0 if main() else 0)
+    main()

@@ -93,6 +93,16 @@ def compute_average_precision_detection(
     return ap
 
 
+def _rows_by_label(labels: np.ndarray) -> dict:
+    """label -> row-index array, in original row order (one stable
+    argsort instead of a boolean mask per class)."""
+    order = np.argsort(labels, kind="stable")
+    labs, starts = np.unique(labels[order], return_index=True)
+    bounds = np.append(starts, len(order))
+    return {lb: order[bounds[i]:bounds[i + 1]]
+            for i, lb in enumerate(labs)}
+
+
 class DetectionEvaluator:
     """mAP over classes present in the ground truth.
 
@@ -121,10 +131,16 @@ class DetectionEvaluator:
         self.pred = {k: v[keep] for k, v in self.pred.items()}
         self.labels = sorted(gt_labels.tolist())
 
-    def _one_class(self, label):
-        g = self.gt["label"] == label
-        p = self.pred["label"] == label
-        return compute_average_precision_detection(
+        # group row indices by label ONCE (the reference's groupby):
+        # per-class boolean masks over the full arrays would cost
+        # O(classes x rows) — ~1e9 compares at EK100 action scale
+        self._gt_rows = _rows_by_label(self.gt["label"])
+        self._pred_rows = _rows_by_label(self.pred["label"])
+
+    def _class_slices(self, label):
+        g = self._gt_rows.get(label, np.empty(0, np.int64))
+        p = self._pred_rows.get(label, np.empty(0, np.int64))
+        return (
             self.gt["video-id"][g],
             np.stack([self.gt["t-start"][g], self.gt["t-end"][g]], -1),
             self.pred["video-id"][p],
@@ -133,12 +149,18 @@ class DetectionEvaluator:
             self.tiou,
         )
 
+    def _one_class(self, label):
+        return compute_average_precision_detection(
+            *self._class_slices(label))
+
     def evaluate(self) -> Tuple[np.ndarray, float, np.ndarray]:
         """Returns (mAP per tIoU, average mAP, per-class AP [T, C])."""
         if self.n_jobs > 1:
             from joblib import Parallel, delayed
+            # ship only each class's slices to the workers, not self
             results = Parallel(n_jobs=self.n_jobs)(
-                delayed(self._one_class)(lb) for lb in self.labels)
+                delayed(compute_average_precision_detection)(
+                    *self._class_slices(lb)) for lb in self.labels)
         else:
             results = [self._one_class(lb) for lb in self.labels]
         ap = np.stack(results, axis=1) if results else np.zeros(

@@ -38,9 +38,15 @@ def _load_native() -> Optional[ctypes.CDLL]:
                     os.path.exists(_SRC)
                     and os.path.getmtime(_SRC) > os.path.getmtime(_LIB)):
                 os.makedirs(_LIB_DIR, exist_ok=True)
+                # compile to a unique temp name + atomic rename: the
+                # in-process lock does not cover OTHER processes (joblib
+                # workers on first use), and concurrent g++ writes to one
+                # path can persist a truncated .so
+                tmp = f"{_LIB}.{os.getpid()}.tmp"
                 subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB],
+                    ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", tmp],
                     check=True, capture_output=True)
+                os.replace(tmp, _LIB)
             lib = ctypes.CDLL(_LIB)
             lib.nms_1d.restype = ctypes.c_int64
             lib.nms_1d.argtypes = [
@@ -277,7 +283,12 @@ def nms_1d_jax(segs, scores, iou_threshold: float, max_keep: int):
         hi = jnp.minimum(segs[i, 1], segs[:, 1])
         inter = jnp.clip(hi - lo, 0.0, None)
         iou = inter / (lens[i] + lens - inter)
-        alive = alive & ~(iou >= iou_threshold) & valid
+        # the selected index is removed EXPLICITLY: a degenerate (zero-
+        # length) top segment can have self-IoU < threshold and would
+        # otherwise be re-selected every step, returning max_keep
+        # duplicates and suppressing nothing
+        alive = (alive & ~(iou >= iou_threshold) & valid
+                 & (jnp.arange(n) != i))
         return (alive,), (jnp.where(valid, i, -1), valid)
 
     alive0 = jnp.ones(n, bool)

@@ -177,6 +177,18 @@ def host_local_rows(x) -> np.ndarray:
         if key in seen:
             continue
         seen.add(key)
+        # only the leading (batch) axis may be sharded: a non-batch axis
+        # split (e.g. a 'model'-sharded class dim GSPMD propagated into
+        # the output) would be concatenated along axis 0 below —
+        # duplicated rows with half the columns, silently corrupt
+        for ax, sl in enumerate(sh.index[1:], start=1):
+            if not (sl.start in (None, 0)
+                    and sl.stop in (None, x.shape[ax])):
+                raise ValueError(
+                    "host_local_rows: output is sharded along non-batch "
+                    f"axis {ax} (shard index {sh.index}); jit this "
+                    "program with replicated out_shardings "
+                    "(parallel.mesh.replicate) before fetching")
         shards.append(sh)
     shards.sort(key=lambda s: s.index[0].start or 0)
     return np.concatenate([np.asarray(s.data) for s in shards], axis=0)

@@ -33,22 +33,31 @@ def xla_trace(log_dir: Optional[str]):
 
 
 class ExperimentLogger:
-    """wandb if available and enabled, stdout otherwise."""
+    """wandb if available and enabled, the python logger otherwise —
+    stats are never silently dropped."""
 
     def __init__(self, enable_wandb: bool = False, project: str = "tim-tpu",
                  config: Optional[Dict] = None, mode: str = "offline"):
+        import logging
+        self._log = logging.getLogger("tim_tpu")
         self._wandb = None
         if enable_wandb:
             try:
                 import wandb
                 wandb.init(project=project, config=config or {}, mode=mode)
                 self._wandb = wandb
-            except Exception:
-                self._wandb = None
+            except Exception as exc:
+                self._log.warning(
+                    "wandb requested but unavailable (%s) — experiment "
+                    "stats will go to the python logger instead", exc)
 
     def log(self, stats: Dict, step: Optional[int] = None) -> None:
         if self._wandb is not None:
             self._wandb.log(stats, step=step)
+        else:
+            self._log.info("experiment%s: %s",
+                           f" step {step}" if step is not None else "",
+                           stats)
 
     def finish(self) -> None:
         if self._wandb is not None:
