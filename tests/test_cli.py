@@ -107,6 +107,21 @@ def test_cli_detection_validate(disk_bundle, tmp_path, monkeypatch):
     assert (tmp_path / "dense_predictions.npz").exists()
     dense = np.load(tmp_path / "dense_predictions.npz", allow_pickle=True)
     assert dense["v_proposals"].shape[1] == 2
+    # materialize before the next run overwrites the file (np.load is lazy)
+    dense_action = np.array(dense["action"])
+    dense.close()
+
+    # top-k dump flag: ships <head>_topk_* columns instead of dense,
+    # consistent with the dense dump's best classes
+    cli.main(_common_args(disk_bundle, tmp_path)
+             + ["--variant", "detection", "--extract_feats",
+                "--extract_top_k", "2"])
+    topk = np.load(tmp_path / "dense_predictions.npz", allow_pickle=True)
+    assert topk["action_topk_values"].shape[-1] == 2
+    assert "action" not in topk
+    np.testing.assert_allclose(
+        topk["action_topk_values"][:, 0],
+        np.sort(dense_action, axis=-1)[:, -1], atol=1e-6)
 
 
 def test_cli_loads_released_torch_checkpoint(disk_bundle, tmp_path,
