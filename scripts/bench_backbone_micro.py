@@ -1,0 +1,164 @@
+"""Backbone extraction attribution: where do Swin-B's 58.5 and ViT-L's
+38.6 ms/clip go, and can the public Pallas TPU flash-attention kernel
+(jax.experimental.pallas.ops.tpu.flash_attention) reclaim the [S,S]
+score-tensor HBM traffic in the ViT?
+
+ViT-L at 16x224x224: S = 8*14*14 = 1568 tokens, 24 layers, d=1024.
+Hand FLOPs ~1.19 TFLOP/clip; the fp32 [B,16,1568,1568] score tensors
+are ~157 MB/clip/layer written+read around the softmax -> ~9.6 GB/clip
+of HBM traffic that flash attention eliminates entirely.
+
+Run:  python scripts/bench_backbone_micro.py [--part attn|vit|swin|all]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def chained_time(fn, *args, iters=10, tag=""):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chained(*a):
+        def body(_, carry):
+            out = fn(a[0] + carry.astype(a[0].dtype), *a[1:])
+            return jnp.max(out).astype(jnp.float32) * jnp.float32(1e-9)
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    float(chained(*args))
+    t0 = time.perf_counter()
+    float(chained(*args))
+    dt = (time.perf_counter() - t0) / iters
+    print(f"[micro] {tag}: {dt * 1e3:.2f} ms", flush=True)
+    return dt
+
+
+def bench_attn():
+    """One ViT-L attention core at real shape: [8, 16, 1568, 64]."""
+    import jax
+    import jax.numpy as jnp
+
+    b, h, s, dh = 8, 16, 1568, 64
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(b, h, s, dh)) * 0.1, jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(b, h, s, dh)) * 0.1, jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(b, h, s, dh)) * 0.1, jnp.bfloat16)
+    scale = 1.0 / np.sqrt(dh)
+
+    def xla_fp32(q, k, v):
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                          preferred_element_type=jnp.float32)
+        attn = jax.nn.softmax(attn, axis=-1).astype(jnp.bfloat16)
+        return jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                          preferred_element_type=jnp.float32
+                          ).astype(jnp.bfloat16)
+
+    def xla_bf16(q, k, v):
+        attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k,
+                          preferred_element_type=jnp.bfloat16)
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1
+                              ).astype(jnp.bfloat16)
+        return jnp.einsum("bhqk,bhkd->bhqd", attn, v,
+                          preferred_element_type=jnp.bfloat16)
+
+    t_f32 = chained_time(xla_fp32, q, k, v, tag="xla fp32 scores")
+    t_b16 = chained_time(xla_bf16, q, k, v, tag="xla bf16 scores")
+
+    results = {"xla_fp32": t_f32, "xla_bf16": t_b16}
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+    for bq, bkv in ((1568, 1568), (784, 784), (224, 1568), (224, 224)):
+        try:
+            bs = fa.BlockSizes(
+                block_q=bq, block_k_major=bkv, block_k=bkv, block_b=1,
+                block_q_major_dkv=bq, block_k_major_dkv=bkv,
+                block_k_dkv=bkv, block_q_dkv=bq,
+                block_k_major_dq=bkv, block_k_dq=bkv, block_q_dq=bq)
+
+            def flash(q, k, v, bs=bs):
+                return fa.flash_attention(q, k, v, sm_scale=scale,
+                                          block_sizes=bs)
+
+            t = chained_time(flash, q, k, v,
+                             tag=f"pallas flash bq={bq} bkv={bkv}")
+            results[f"flash_{bq}_{bkv}"] = t
+        except Exception as exc:
+            print(f"[micro] flash bq={bq} bkv={bkv} failed: "
+                  f"{type(exc).__name__}: {str(exc)[:200]}", flush=True)
+
+    # numeric check at the shipped (full-sequence-block) flash config
+    from tim_tpu.models.backbones.vit import _flash_block_sizes
+    ref = np.asarray(jax.jit(xla_fp32)(q, k, v), np.float32)
+    got = np.asarray(jax.jit(lambda q, k, v: fa.flash_attention(
+        q, k, v, sm_scale=scale,
+        block_sizes=_flash_block_sizes(s)))(q, k, v), np.float32)
+    print(f"[micro] flash vs xla max |d|: {np.abs(ref - got).max():.3e} "
+          f"(measured 3.1e-5 at out scale ~2e-3)", flush=True)
+    return results
+
+
+def bench_vit():
+    import jax.numpy as jnp
+
+    from tim_tpu.models.backbones.vit import VideoMAEViT
+
+    rng = np.random.default_rng(0)
+    import jax
+    key = jax.random.PRNGKey(0)
+    for batch in (8, 16):
+        clip = jnp.asarray(rng.normal(size=(batch, 16, 224, 224, 3)) * 0.1,
+                           jnp.bfloat16)
+        for flash in (False, True):
+            vit = VideoMAEViT(dtype=jnp.bfloat16, use_flash=flash)
+            params = vit.init(key, clip)
+            tag = f"vit-l b{batch}{' flash' if flash else ''}"
+            t = chained_time(lambda c, p: vit.apply(p, c), clip, params,
+                             tag=tag)
+            print(f"[micro] {tag}: {t / batch * 1e3:.2f} ms/clip "
+                  f"({1.19 * batch / t:.1f} TF/s hand-counted)",
+                  flush=True)
+
+
+def bench_swin():
+    import jax
+    import jax.numpy as jnp
+
+    from tim_tpu.models.backbones.swin3d import SwinTransformer3D
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    for batch in (8, 16):
+        clip = jnp.asarray(
+            rng.normal(size=(batch, 32, 224, 224, 3)) * 0.1, jnp.bfloat16)
+        swin = SwinTransformer3D(dtype=jnp.bfloat16)
+        params = swin.init(key, clip)
+        t = chained_time(lambda c, p: swin.apply(p, c), clip, params,
+                         tag=f"swin-b b{batch}")
+        print(f"[micro] swin-b b{batch}: {t / batch * 1e3:.2f} ms/clip",
+              flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--part", default="all",
+                    choices=["attn", "vit", "swin", "all"])
+    args = ap.parse_args()
+    import jax
+    print("devices:", jax.devices(), flush=True)
+    if args.part in ("attn", "all"):
+        bench_attn()
+    if args.part in ("vit", "all"):
+        bench_vit()
+    if args.part in ("swin", "all"):
+        bench_swin()
+
+
+if __name__ == "__main__":
+    main()

@@ -87,7 +87,8 @@ def main():
         tim_b = 8
     else:
         swin = SwinTransformer3D(dtype=jnp.bfloat16)       # Swin-B
-        vit = VideoMAEViT(dtype=jnp.bfloat16)              # ViT-L
+        vit = VideoMAEViT(dtype=jnp.bfloat16,              # ViT-L
+                          use_flash=jax.default_backend() == "tpu")
         asf = AuditorySlowFast()                           # R50
         clip_o = (32, 224, 224, 3)
         clip_v = (16, 224, 224, 3)

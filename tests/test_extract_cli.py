@@ -60,7 +60,7 @@ def test_extract_cli_visual_videomae(tmp_path, monkeypatch):
     # batching, saving) is what's under test, not ViT-L throughput
     monkeypatch.setattr(
         vit, "videomae_vit_large",
-        lambda dtype="float32": vit.VideoMAEViT(
+        lambda dtype="float32", use_flash=False: vit.VideoMAEViT(
             embed_dim=1024, depth=1, num_heads=4))
     cli.main([
         "--backbone", "videomae",

@@ -30,14 +30,37 @@ def sinusoid_position_table(n_position: int, d_hid: int) -> np.ndarray:
     return table
 
 
+def _flash_block_sizes(s: int):
+    """Full-sequence blocks for the Pallas TPU flash kernel. ViT-L's
+    S=1568 is not a multiple of 128, which rules out the kernel's default
+    tiling — but a single S-sized block passes the divisibility checks
+    and measured FASTEST anyway (4.23 ms vs 4.34 for bq=224 at b8;
+    score block is S^2 fp32 = 9.8 MB of VMEM, fine for S <= ~2048)."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    return fa.BlockSizes(
+        block_q=s, block_k_major=s, block_k=s, block_b=1,
+        block_q_major_dkv=s, block_k_major_dkv=s, block_k_dkv=s,
+        block_q_dkv=s, block_k_major_dq=s, block_k_dq=s, block_q_dq=s)
+
+
 class VideoMAEAttention(nn.Module):
     """Packed qkv projection with q/v biases only (k bias fixed at zero),
-    matching the checkpoint layout (``modeling_finetune.py:75-129``)."""
+    matching the checkpoint layout (``modeling_finetune.py:75-129``).
+
+    ``use_flash``: route the softmax-attention core through the public
+    Pallas TPU flash kernel instead of materializing the [B, H, S, S]
+    score tensor (~157 MB fp32 per clip-layer at ViT-L's S=1568 — the
+    measured attention core drops 8.03 -> 4.23 ms per batch-8 layer).
+    Exact softmax attention with fp32 online accumulators; measured
+    output delta vs the XLA path is ~3e-5 (bf16 rounding). TPU-only —
+    leave False on CPU backends (no interpret fallback)."""
 
     dim: int
     num_heads: int
     qkv_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -60,11 +83,21 @@ class VideoMAEAttention(nn.Module):
             b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,N,H,dh]
 
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
-                          preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
-                         preferred_element_type=jnp.float32)
+        if self.use_flash:
+            from jax.experimental.pallas.ops.tpu import (
+                flash_attention as fa)
+
+            out = fa.flash_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), sm_scale=float(scale),
+                block_sizes=_flash_block_sizes(n))
+            out = out.transpose(0, 2, 1, 3)
+        else:
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
+                              preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
+                             preferred_element_type=jnp.float32)
         out = out.reshape(b, n, d).astype(self.dtype)
         # reference _init_weights: every nn.Linear is trunc_normal(0.02)
         # with zero bias (modeling_finetune.py:342-347) — matters for
@@ -80,11 +113,13 @@ class ViTBlock(nn.Module):
     mlp_ratio: float = 4.0
     init_values: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x):
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         h = VideoMAEAttention(self.dim, self.num_heads, dtype=self.dtype,
+                              use_flash=self.use_flash,
                               name="attn")(h.astype(self.dtype))
         if self.init_values > 0:
             gamma_1 = self.param(
@@ -123,6 +158,7 @@ class VideoMAEViT(nn.Module):
     tubelet_size: int = 2
     init_values: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, video):
@@ -141,16 +177,17 @@ class VideoMAEViT(nn.Module):
 
         for i in range(self.depth):
             x = ViTBlock(self.embed_dim, self.num_heads, self.mlp_ratio,
-                         self.init_values, self.dtype, name=f"block{i}")(x)
+                         self.init_values, self.dtype,
+                         use_flash=self.use_flash, name=f"block{i}")(x)
 
         x = jnp.mean(x.astype(jnp.float32), axis=1)
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="fc_norm")(x)
         return x.astype(self.dtype)
 
 
-def videomae_vit_large(dtype="float32") -> VideoMAEViT:
+def videomae_vit_large(dtype="float32", use_flash=False) -> VideoMAEViT:
     return VideoMAEViT(embed_dim=1024, depth=24, num_heads=16,
-                       dtype=jnp.dtype(dtype))
+                       dtype=jnp.dtype(dtype), use_flash=use_flash)
 
 
 def params_from_torch(state_dict, depth: int = 24) -> dict:

@@ -41,6 +41,7 @@ class FusedRecognitionPipeline(nn.Module):
     swin: Optional[SwinTransformer3D] = None
     vit: Optional[VideoMAEViT] = None
     audio_alpha: int = 4
+    use_flash: bool = False   # Pallas TPU flash attention in the ViT
 
     def setup(self):
         cfg = self.tim_cfg
@@ -50,7 +51,8 @@ class FusedRecognitionPipeline(nn.Module):
                     dtype=jnp.dtype(cfg.compute_dtype))
             if self.visual_backbone in ("videomae", "both"):
                 self.vit_model = self.vit or VideoMAEViT(
-                    dtype=jnp.dtype(cfg.compute_dtype))
+                    dtype=jnp.dtype(cfg.compute_dtype),
+                    use_flash=self.use_flash)
         if "audio" in cfg.input_modality:
             self.audio_model = AuditorySlowFast(alpha=self.audio_alpha)
         self.tim = TimRecognition(cfg)
@@ -103,6 +105,7 @@ class FusedDetectionPipeline(nn.Module):
     swin: Optional[SwinTransformer3D] = None
     vit: Optional[VideoMAEViT] = None
     audio_alpha: int = 4
+    use_flash: bool = False   # Pallas TPU flash attention in the ViT
 
     def setup(self):
         cfg = self.tim_cfg
@@ -112,7 +115,8 @@ class FusedDetectionPipeline(nn.Module):
                     dtype=jnp.dtype(cfg.compute_dtype))
             if self.visual_backbone in ("videomae", "both"):
                 self.vit_model = self.vit or VideoMAEViT(
-                    dtype=jnp.dtype(cfg.compute_dtype))
+                    dtype=jnp.dtype(cfg.compute_dtype),
+                    use_flash=self.use_flash)
         if "audio" in cfg.input_modality:
             self.audio_model = AuditorySlowFast(alpha=self.audio_alpha)
         self.tim = TimDetection(cfg)
