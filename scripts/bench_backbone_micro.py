@@ -134,15 +134,25 @@ def bench_swin():
 
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
+    ref_out = {}
     for batch in (8, 16):
         clip = jnp.asarray(
             rng.normal(size=(batch, 32, 224, 224, 3)) * 0.1, jnp.bfloat16)
-        swin = SwinTransformer3D(dtype=jnp.bfloat16)
-        params = swin.init(key, clip)
-        t = chained_time(lambda c, p: swin.apply(p, c), clip, params,
-                         tag=f"swin-b b{batch}")
-        print(f"[micro] swin-b b{batch}: {t / batch * 1e3:.2f} ms/clip",
-              flush=True)
+        for flash in (False, True):
+            swin = SwinTransformer3D(dtype=jnp.bfloat16, use_flash=flash)
+            if batch == 8 and not flash:
+                params = swin.init(key, clip)
+            tag = f"swin-b b{batch}{' flash' if flash else ''}"
+            t = chained_time(lambda c, p: swin.apply(p, c), clip, params,
+                             tag=tag)
+            print(f"[micro] {tag}: {t / batch * 1e3:.2f} ms/clip",
+                  flush=True)
+            if batch == 8:
+                ref_out[flash] = np.asarray(
+                    jax.jit(swin.apply)(params, clip[:2]), np.float32)
+    d = np.abs(ref_out[True] - ref_out[False]).max()
+    print(f"[micro] swin flash vs xla max |d|: {d:.3e} "
+          f"(out scale {np.abs(ref_out[False]).max():.3e})", flush=True)
 
 
 def main():

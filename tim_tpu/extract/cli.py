@@ -55,9 +55,9 @@ def build_parser():
     p.add_argument("--compute_dtype", default="bfloat16")
     p.add_argument("--flash_attention", default="auto",
                    choices=["auto", "on", "off"],
-                   help="Pallas TPU flash attention in the ViT backbone "
-                        "(measured 2.6x ViT-L: 38.6 -> 14.7 ms/clip); "
-                        "auto = on when the backend is TPU")
+                   help="Pallas TPU flash/window attention in the ViT and "
+                        "Swin backbones (measured 2.6x ViT-L: 38.6 -> 14.7 "
+                        "ms/clip); auto = on when the backend is TPU")
     return p
 
 
@@ -75,16 +75,17 @@ def _make_visual_apply(args):
     import jax
     import jax.numpy as jnp
 
+    flash = (jax.default_backend() == "tpu"
+             if getattr(args, "flash_attention", "auto") == "auto"
+             else args.flash_attention == "on")
     if args.backbone == "omnivore":
         from tim_tpu.models.backbones import swin3d
-        model = swin3d.omnivore_swinB_epic(dtype=args.compute_dtype)
+        model = swin3d.omnivore_swinB_epic(dtype=args.compute_dtype,
+                                           use_flash=flash)
         variables = swin3d.params_from_torch(
             _load_torch_state(args.checkpoint)) if args.checkpoint else None
     else:
         from tim_tpu.models.backbones import vit
-        flash = (jax.default_backend() == "tpu"
-                 if getattr(args, "flash_attention", "auto") == "auto"
-                 else args.flash_attention == "on")
         model = vit.videomae_vit_large(dtype=args.compute_dtype,
                                        use_flash=flash)
         variables = vit.params_from_torch(

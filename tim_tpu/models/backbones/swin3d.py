@@ -111,10 +111,19 @@ def window_reverse(windows, window, b, d, h, w):
 
 
 class WindowAttention3D(nn.Module):
+    """``use_flash``: route the window-attention core through the fused
+    Mosaic kernel (``ops/pallas_swin.py``) instead of materializing the
+    per-window [H, N, N] fp32 score tensors (~4.9 GB per Swin-B clip
+    across stages, read/written ~2.5x by the XLA path). Exact softmax
+    attention with fp32 scores; the relative-position bias + shift mask
+    stay at their natural [n_types, H, N, N] shape. TPU-only — leave
+    False on CPU backends (no interpret fallback)."""
+
     dim: int
     full_window: Tuple[int, int, int]   # configured size (bias table size)
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, mask: Optional[np.ndarray]):
@@ -134,11 +143,31 @@ class WindowAttention3D(nn.Module):
         qkv = qkv.reshape(bn, n, 3, h, dh)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
-                          preferred_element_type=jnp.float32)
-
         idx = relative_position_index(self.full_window)[:n, :n]
         bias = table[jnp.asarray(idx.reshape(-1))].reshape(n, n, h)
+
+        if self.use_flash:
+            from tim_tpu.ops.pallas_swin import (
+                window_attention_flash, window_type_major,
+                window_type_major_inverse)
+
+            ab = bias.transpose(2, 0, 1)[None].astype(jnp.float32)
+            if mask is not None:
+                ab = ab + jnp.asarray(mask)[:, None]
+            n_types = ab.shape[0]
+            qh, kh, vh = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+            if n_types > 1:
+                qh, kh, vh = (window_type_major(t, n_types)
+                              for t in (qh, kh, vh))
+            out = window_attention_flash(qh, kh, vh, ab, sm_scale=scale)
+            if n_types > 1:
+                out = window_type_major_inverse(out, n_types)
+            out = out.transpose(0, 2, 1, 3).reshape(bn, n, c)
+            return nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
+                            name="proj")(out.astype(self.dtype))
+
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
+                          preferred_element_type=jnp.float32)
         attn = attn + bias.transpose(2, 0, 1)[None].astype(attn.dtype)
 
         if mask is not None:
@@ -162,6 +191,7 @@ class SwinBlock3D(nn.Module):
     shift: bool
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -192,7 +222,8 @@ class SwinBlock3D(nn.Module):
 
         windows = window_partition(x, window)
         attn = WindowAttention3D(self.dim, self.window_size, self.num_heads,
-                                 self.dtype, name="attn")(windows, mask)
+                                 self.dtype, use_flash=self.use_flash,
+                                 name="attn")(windows, mask)
         x = window_reverse(attn, window, b, dp, hp, wp)
 
         if any(s > 0 for s in shift):
@@ -243,6 +274,7 @@ class SwinTransformer3D(nn.Module):
     mlp_ratio: float = 4.0
     patch_norm: bool = True
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, video, pool: bool = True):
@@ -260,7 +292,7 @@ class SwinTransformer3D(nn.Module):
             for j in range(depth):
                 x = SwinBlock3D(dim, heads, self.window_size,
                                 shift=(j % 2 == 1), mlp_ratio=self.mlp_ratio,
-                                dtype=self.dtype,
+                                dtype=self.dtype, use_flash=self.use_flash,
                                 name=f"layer{i}_block{j}")(x)
             if i < len(self.depths) - 1:
                 x = PatchMerging(dim, self.dtype,
@@ -272,10 +304,11 @@ class SwinTransformer3D(nn.Module):
         return x.astype(self.dtype)
 
 
-def omnivore_swinB_epic(dtype="float32") -> SwinTransformer3D:
+def omnivore_swinB_epic(dtype="float32",
+                        use_flash: bool = False) -> SwinTransformer3D:
     """The EPIC-KITCHENS Omnivore trunk config
     (``omnivore_model.py:136-162``)."""
-    return SwinTransformer3D(dtype=jnp.dtype(dtype))
+    return SwinTransformer3D(dtype=jnp.dtype(dtype), use_flash=use_flash)
 
 
 # ---------------------------------------------------------------------------

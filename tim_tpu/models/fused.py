@@ -41,14 +41,15 @@ class FusedRecognitionPipeline(nn.Module):
     swin: Optional[SwinTransformer3D] = None
     vit: Optional[VideoMAEViT] = None
     audio_alpha: int = 4
-    use_flash: bool = False   # Pallas TPU flash attention in the ViT
+    use_flash: bool = False   # Pallas TPU flash attention (ViT + Swin)
 
     def setup(self):
         cfg = self.tim_cfg
         if "visual" in cfg.input_modality:
             if self.visual_backbone in ("omnivore", "both"):
                 self.swin_model = self.swin or SwinTransformer3D(
-                    dtype=jnp.dtype(cfg.compute_dtype))
+                    dtype=jnp.dtype(cfg.compute_dtype),
+                    use_flash=self.use_flash)
             if self.visual_backbone in ("videomae", "both"):
                 self.vit_model = self.vit or VideoMAEViT(
                     dtype=jnp.dtype(cfg.compute_dtype),
@@ -105,14 +106,15 @@ class FusedDetectionPipeline(nn.Module):
     swin: Optional[SwinTransformer3D] = None
     vit: Optional[VideoMAEViT] = None
     audio_alpha: int = 4
-    use_flash: bool = False   # Pallas TPU flash attention in the ViT
+    use_flash: bool = False   # Pallas TPU flash attention (ViT + Swin)
 
     def setup(self):
         cfg = self.tim_cfg
         if "visual" in cfg.input_modality:
             if self.visual_backbone in ("omnivore", "both"):
                 self.swin_model = self.swin or SwinTransformer3D(
-                    dtype=jnp.dtype(cfg.compute_dtype))
+                    dtype=jnp.dtype(cfg.compute_dtype),
+                    use_flash=self.use_flash)
             if self.visual_backbone in ("videomae", "both"):
                 self.vit_model = self.vit or VideoMAEViT(
                     dtype=jnp.dtype(cfg.compute_dtype),
