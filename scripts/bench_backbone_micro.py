@@ -135,24 +135,35 @@ def bench_swin():
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
     ref_out = {}
+    params = None
+    # b16 XLA (non-flash) does not fit: 16.25G > 15.75G HBM on v5e —
+    # run each config independently so one OOM doesn't kill the sweep,
+    # and compute the b8 parity check before touching b16.
     for batch in (8, 16):
         clip = jnp.asarray(
             rng.normal(size=(batch, 32, 224, 224, 3)) * 0.1, jnp.bfloat16)
         for flash in (False, True):
             swin = SwinTransformer3D(dtype=jnp.bfloat16, use_flash=flash)
-            if batch == 8 and not flash:
+            if params is None:
                 params = swin.init(key, clip)
             tag = f"swin-b b{batch}{' flash' if flash else ''}"
-            t = chained_time(lambda c, p: swin.apply(p, c), clip, params,
-                             tag=tag)
+            try:
+                t = chained_time(lambda c, p: swin.apply(p, c), clip,
+                                 params, tag=tag)
+            except Exception as exc:
+                print(f"[micro] {tag} failed: {type(exc).__name__}: "
+                      f"{str(exc)[:160]}", flush=True)
+                continue
             print(f"[micro] {tag}: {t / batch * 1e3:.2f} ms/clip",
                   flush=True)
             if batch == 8:
                 ref_out[flash] = np.asarray(
                     jax.jit(swin.apply)(params, clip[:2]), np.float32)
-    d = np.abs(ref_out[True] - ref_out[False]).max()
-    print(f"[micro] swin flash vs xla max |d|: {d:.3e} "
-          f"(out scale {np.abs(ref_out[False]).max():.3e})", flush=True)
+        if batch == 8 and len(ref_out) == 2:
+            d = np.abs(ref_out[True] - ref_out[False]).max()
+            print(f"[micro] swin flash vs xla max |d|: {d:.3e} "
+                  f"(out scale {np.abs(ref_out[False]).max():.3e})",
+                  flush=True)
 
 
 def main():

@@ -86,9 +86,11 @@ def main():
             compute_dtype="bfloat16")
         tim_b = 8
     else:
-        swin = SwinTransformer3D(dtype=jnp.bfloat16)       # Swin-B
+        on_tpu = jax.default_backend() == "tpu"
+        swin = SwinTransformer3D(dtype=jnp.bfloat16,       # Swin-B
+                                 use_flash=on_tpu)
         vit = VideoMAEViT(dtype=jnp.bfloat16,              # ViT-L
-                          use_flash=jax.default_backend() == "tpu")
+                          use_flash=on_tpu)
         asf = AuditorySlowFast()                           # R50
         clip_o = (32, 224, 224, 3)
         clip_v = (16, 224, 224, 3)
