@@ -126,7 +126,7 @@ def bench_vit():
                   flush=True)
 
 
-def bench_swin():
+def bench_swin(failures):
     import jax
     import jax.numpy as jnp
 
@@ -138,7 +138,9 @@ def bench_swin():
     params = None
     # b16 XLA (non-flash) does not fit: 16.25G > 15.75G HBM on v5e —
     # run each config independently so one OOM doesn't kill the sweep,
-    # and compute the b8 parity check before touching b16.
+    # and compute the b8 parity check before touching b16. Only
+    # resource/runtime errors degrade to a skip; shape/tracer bugs raise.
+    skippable = (RuntimeError, jax.errors.JaxRuntimeError)
     for batch in (8, 16):
         clip = jnp.asarray(
             rng.normal(size=(batch, 32, 224, 224, 3)) * 0.1, jnp.bfloat16)
@@ -150,15 +152,22 @@ def bench_swin():
             try:
                 t = chained_time(lambda c, p: swin.apply(p, c), clip,
                                  params, tag=tag)
-            except Exception as exc:
+            except skippable as exc:
                 print(f"[micro] {tag} failed: {type(exc).__name__}: "
                       f"{str(exc)[:160]}", flush=True)
+                failures.append(tag)
                 continue
             print(f"[micro] {tag}: {t / batch * 1e3:.2f} ms/clip",
                   flush=True)
             if batch == 8:
-                ref_out[flash] = np.asarray(
-                    jax.jit(swin.apply)(params, clip[:2]), np.float32)
+                try:
+                    ref_out[flash] = np.asarray(
+                        jax.jit(swin.apply)(params, clip[:2]), np.float32)
+                except skippable as exc:
+                    print(f"[micro] {tag} parity ref failed: "
+                          f"{type(exc).__name__}: {str(exc)[:160]}",
+                          flush=True)
+                    failures.append(tag + " parity")
         if batch == 8 and len(ref_out) == 2:
             d = np.abs(ref_out[True] - ref_out[False]).max()
             print(f"[micro] swin flash vs xla max |d|: {d:.3e} "
@@ -173,12 +182,17 @@ def main():
     args = ap.parse_args()
     import jax
     print("devices:", jax.devices(), flush=True)
+    failures = []
     if args.part in ("attn", "all"):
         bench_attn()
     if args.part in ("vit", "all"):
         bench_vit()
     if args.part in ("swin", "all"):
-        bench_swin()
+        bench_swin(failures)
+    if failures:
+        print(f"[micro] PARTIAL SWEEP — {len(failures)} config(s) "
+              f"skipped: {failures}", flush=True)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -66,6 +66,51 @@ def test_vit_flash_forward_matches_xla():
     np.testing.assert_allclose(got, ref, atol=3e-2, rtol=0)
 
 
+def test_vit_flash_wiring_on_cpu(monkeypatch):
+    """Execute the ``use_flash=True`` wiring (block-size selection,
+    [B,N,H,dh]<->[B,H,N,dh] transposes, qkv unpacking) in the default CPU
+    suite by standing in an exact-softmax fake for the TPU-only kernel.
+    Numerics of the real kernel stay TPU-gated above; this pins the
+    plumbing so a reshape/argument regression can't hide behind the
+    skip."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    from tim_tpu.models.backbones import vit as vit_mod
+
+    seen = {}
+
+    def fake_flash(q, k, v, *, sm_scale, block_sizes):
+        seen["block_sizes"] = block_sizes
+        seen["sm_scale"] = sm_scale
+        seen["shape"] = tuple(q.shape)
+        attn = jnp.einsum("bhqd,bhkd->bhqk",
+                          q.astype(jnp.float32) * sm_scale,
+                          k.astype(jnp.float32))
+        attn = jax.nn.softmax(attn, axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", attn,
+                          v.astype(jnp.float32)).astype(q.dtype)
+
+    monkeypatch.setattr(fa, "flash_attention", fake_flash)
+
+    rng = np.random.default_rng(2)
+    clip = jnp.asarray(rng.normal(size=(2, 4, 32, 32, 3)) * 0.1,
+                       jnp.float32)
+    kw = dict(img_size=32, patch_size=8, embed_dim=32, depth=1,
+              num_heads=2, num_frames=4, tubelet_size=2)
+    base = vit_mod.VideoMAEViT(**kw)
+    params = base.init(jax.random.PRNGKey(0), clip)
+    ref = np.asarray(base.apply(params, clip), np.float32)
+    got = np.asarray(
+        vit_mod.VideoMAEViT(use_flash=True, **kw).apply(params, clip),
+        np.float32)
+
+    s = 2 * 4 * 4  # tubelets * 4x4 patches
+    assert seen["shape"] == (2, 2, s, 16)  # [B, H, S, dh] layout reached
+    assert seen["block_sizes"].block_q == s  # full-sequence block policy
+    assert seen["sm_scale"] == pytest.approx(16 ** -0.5)
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=0)
+
+
 def test_flash_flag_off_is_pure_xla_on_cpu():
     """Default path stays CPU-runnable and flag default is off."""
     from tim_tpu.models.backbones.vit import VideoMAEViT
