@@ -124,10 +124,15 @@ class WindowAttention3D(nn.Module):
     num_heads: int
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    quantized: bool = False
+    act_scales: tuple = ()
 
     @nn.compact
     def __call__(self, x, mask: Optional[np.ndarray]):
         """x: [B*nW, N, C]; mask: [nW, N, N] numpy or None."""
+        from tim_tpu.models.common import Int8Dense
+        from tim_tpu.ops.quant import scale_for
+
         bn, n, c = x.shape
         h = self.num_heads
         dh = c // h
@@ -138,8 +143,18 @@ class WindowAttention3D(nn.Module):
             nn.initializers.truncated_normal(0.02),
             ((2 * wd - 1) * (2 * wh - 1) * (2 * ww - 1), h), jnp.float32)
 
-        qkv = nn.Dense(3 * c, dtype=self.dtype, param_dtype=jnp.float32,
-                       name="qkv")(x)
+        if self.quantized:
+            def dense(feats, name):
+                const = scale_for(self.act_scales, name)
+                return Int8Dense(feats, dtype=self.dtype,
+                                 static_acts=const > 0.0,
+                                 act_scale_const=const, name=name)
+        else:
+            def dense(feats, name):
+                return nn.Dense(feats, dtype=self.dtype,
+                                param_dtype=jnp.float32, name=name)
+
+        qkv = dense(3 * c, "qkv")(x)
         qkv = qkv.reshape(bn, n, 3, h, dh)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
@@ -163,8 +178,7 @@ class WindowAttention3D(nn.Module):
             if n_types > 1:
                 out = window_type_major_inverse(out, n_types)
             out = out.transpose(0, 2, 1, 3).reshape(bn, n, c)
-            return nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
-                            name="proj")(out.astype(self.dtype))
+            return dense(c, "proj")(out.astype(self.dtype))
 
         attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
                           preferred_element_type=jnp.float32)
@@ -180,8 +194,7 @@ class WindowAttention3D(nn.Module):
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
                          preferred_element_type=jnp.float32)
         out = out.reshape(bn, n, c).astype(self.dtype)
-        return nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
-                        name="proj")(out)
+        return dense(c, "proj")(out)
 
 
 class SwinBlock3D(nn.Module):
@@ -192,9 +205,14 @@ class SwinBlock3D(nn.Module):
     mlp_ratio: float = 4.0
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    quantized: bool = False
+    act_scales: tuple = ()
 
     @nn.compact
     def __call__(self, x):
+        from tim_tpu.models.common import Int8Dense
+        from tim_tpu.ops.quant import filter_scales, scale_for
+
         b, d, h, w, c = x.shape
         shift_cfg = tuple(i // 2 for i in self.window_size) if self.shift \
             else (0, 0, 0)
@@ -223,6 +241,9 @@ class SwinBlock3D(nn.Module):
         windows = window_partition(x, window)
         attn = WindowAttention3D(self.dim, self.window_size, self.num_heads,
                                  self.dtype, use_flash=self.use_flash,
+                                 quantized=self.quantized,
+                                 act_scales=filter_scales(
+                                     self.act_scales, "attn"),
                                  name="attn")(windows, mask)
         x = window_reverse(attn, window, b, dp, hp, wp)
 
@@ -232,13 +253,20 @@ class SwinBlock3D(nn.Module):
             x = x[:, :d, :h, :w]
         x = shortcut + x
 
+        if self.quantized:
+            def dense(feats, name):
+                const = scale_for(self.act_scales, name)
+                return Int8Dense(feats, dtype=self.dtype,
+                                 static_acts=const > 0.0,
+                                 act_scale_const=const, name=name)
+        else:
+            def dense(feats, name):
+                return nn.Dense(feats, dtype=self.dtype,
+                                param_dtype=jnp.float32, name=name)
         y = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
-        y = nn.Dense(int(c * self.mlp_ratio), dtype=self.dtype,
-                     param_dtype=jnp.float32, name="fc1")(
-                         y.astype(self.dtype))
+        y = dense(int(c * self.mlp_ratio), "fc1")(y.astype(self.dtype))
         y = exact_gelu(y)
-        y = nn.Dense(c, dtype=self.dtype, param_dtype=jnp.float32,
-                     name="fc2")(y)
+        y = dense(c, "fc2")(y)
         return x + y
 
 
@@ -275,9 +303,15 @@ class SwinTransformer3D(nn.Module):
     patch_norm: bool = True
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    # int8 serving (TPU-native, no reference counterpart): weights from
+    # ``ops.quant.quantize_backbone_params``, static activation scales
+    # from ``ops.quant.calibrate_act_scales``.
+    quantized: bool = False
+    act_scales: tuple = ()
 
     @nn.compact
     def __call__(self, video, pool: bool = True):
+        from tim_tpu.ops.quant import filter_scales
         x = nn.Conv(self.embed_dim, kernel_size=self.patch_size,
                     strides=self.patch_size, padding="VALID",
                     dtype=self.dtype, param_dtype=jnp.float32,
@@ -293,6 +327,9 @@ class SwinTransformer3D(nn.Module):
                 x = SwinBlock3D(dim, heads, self.window_size,
                                 shift=(j % 2 == 1), mlp_ratio=self.mlp_ratio,
                                 dtype=self.dtype, use_flash=self.use_flash,
+                                quantized=self.quantized,
+                                act_scales=filter_scales(
+                                    self.act_scales, f"layer{i}_block{j}"),
                                 name=f"layer{i}_block{j}")(x)
             if i < len(self.depths) - 1:
                 x = PatchMerging(dim, self.dtype,

@@ -61,19 +61,38 @@ class VideoMAEAttention(nn.Module):
     qkv_bias: bool = True
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    quantized: bool = False
+    act_scales: tuple = ()
 
     @nn.compact
     def __call__(self, x):
+        from tim_tpu.models.common import Int8Dense
+        from tim_tpu.ops.quant import scale_for
+
         b, n, _ = x.shape
         d = self.dim
         head_dim = d // self.num_heads
         scale = head_dim ** -0.5
 
-        qkv_kernel = self.param(
-            "qkv_kernel", nn.initializers.truncated_normal(0.02),
-            (d, 3 * d), jnp.float32)
-        qkv = jnp.dot(x.astype(self.dtype), qkv_kernel.astype(self.dtype),
-                      preferred_element_type=jnp.float32)
+        if self.quantized:
+            # int8 serving path: the packed qkv kernel lives in an
+            # Int8Dense child (``quantize_backbone_params`` moves the
+            # fp32 ``qkv_kernel`` leaf there); q/v biases stay separate
+            # to preserve the VideoMAE no-k-bias layout. Calibrated
+            # scales run as compile-time constants; without them the
+            # layer falls back to dynamic per-row act quantization
+            # (which is also the calibration pass).
+            const = scale_for(self.act_scales, "qkv")
+            qkv = Int8Dense(3 * d, use_bias=False, dtype=jnp.float32,
+                            static_acts=const > 0.0,
+                            act_scale_const=const, name="qkv")(x)
+        else:
+            qkv_kernel = self.param(
+                "qkv_kernel", nn.initializers.truncated_normal(0.02),
+                (d, 3 * d), jnp.float32)
+            qkv = jnp.dot(x.astype(self.dtype),
+                          qkv_kernel.astype(self.dtype),
+                          preferred_element_type=jnp.float32)
         if self.qkv_bias:
             q_bias = self.param("q_bias", nn.initializers.zeros, (d,))
             v_bias = self.param("v_bias", nn.initializers.zeros, (d,))
@@ -99,6 +118,10 @@ class VideoMAEAttention(nn.Module):
             out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
                              preferred_element_type=jnp.float32)
         out = out.reshape(b, n, d).astype(self.dtype)
+        if self.quantized:
+            const = scale_for(self.act_scales, "proj")
+            return Int8Dense(d, dtype=self.dtype, static_acts=const > 0.0,
+                             act_scale_const=const, name="proj")(out)
         # reference _init_weights: every nn.Linear is trunc_normal(0.02)
         # with zero bias (modeling_finetune.py:342-347) — matters for
         # from-scratch MAE pretraining, not checkpoint-loaded inference
@@ -114,12 +137,20 @@ class ViTBlock(nn.Module):
     init_values: float = 0.0
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    quantized: bool = False
+    act_scales: tuple = ()
 
     @nn.compact
     def __call__(self, x):
+        from tim_tpu.models.common import Int8Dense
+        from tim_tpu.ops.quant import filter_scales, scale_for
+
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
         h = VideoMAEAttention(self.dim, self.num_heads, dtype=self.dtype,
                               use_flash=self.use_flash,
+                              quantized=self.quantized,
+                              act_scales=filter_scales(
+                                  self.act_scales, "attn"),
                               name="attn")(h.astype(self.dtype))
         if self.init_values > 0:
             gamma_1 = self.param(
@@ -128,15 +159,23 @@ class ViTBlock(nn.Module):
             h = h * gamma_1.astype(self.dtype)
         x = x + h
 
+        if self.quantized:
+            def dense(feats, name):
+                const = scale_for(self.act_scales, name)
+                return Int8Dense(feats, dtype=self.dtype,
+                                 static_acts=const > 0.0,
+                                 act_scale_const=const, name=name)
+        else:
+            def dense(feats, name):
+                return nn.Dense(
+                    feats, dtype=self.dtype, param_dtype=jnp.float32,
+                    kernel_init=nn.initializers.truncated_normal(0.02),
+                    name=name)
         h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm2")(x)
-        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
-                     param_dtype=jnp.float32,
-                     kernel_init=nn.initializers.truncated_normal(0.02),
-                     name="fc1")(h.astype(self.dtype))
+        h = dense(int(self.dim * self.mlp_ratio), "fc1")(
+            h.astype(self.dtype))
         h = exact_gelu(h)
-        h = nn.Dense(self.dim, dtype=self.dtype, param_dtype=jnp.float32,
-                     kernel_init=nn.initializers.truncated_normal(0.02),
-                     name="fc2")(h)
+        h = dense(self.dim, "fc2")(h)
         if self.init_values > 0:
             gamma_2 = self.param(
                 "gamma_2", nn.initializers.constant(self.init_values),
@@ -159,9 +198,16 @@ class VideoMAEViT(nn.Module):
     init_values: float = 0.0
     dtype: jnp.dtype = jnp.float32
     use_flash: bool = False
+    # int8 serving (TPU-native, no reference counterpart): weights from
+    # ``ops.quant.quantize_backbone_params``, static activation scales
+    # from ``ops.quant.calibrate_act_scales`` baked as compile-time
+    # constants (the lever that won 1.37x on the TIM serving matmuls).
+    quantized: bool = False
+    act_scales: tuple = ()
 
     @nn.compact
     def __call__(self, video):
+        from tim_tpu.ops.quant import filter_scales
         b, t, h, w, c = video.shape
         x = nn.Conv(
             self.embed_dim,
@@ -178,7 +224,11 @@ class VideoMAEViT(nn.Module):
         for i in range(self.depth):
             x = ViTBlock(self.embed_dim, self.num_heads, self.mlp_ratio,
                          self.init_values, self.dtype,
-                         use_flash=self.use_flash, name=f"block{i}")(x)
+                         use_flash=self.use_flash,
+                         quantized=self.quantized,
+                         act_scales=filter_scales(
+                             self.act_scales, f"block{i}"),
+                         name=f"block{i}")(x)
 
         x = jnp.mean(x.astype(jnp.float32), axis=1)
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="fc_norm")(x)

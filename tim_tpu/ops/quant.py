@@ -150,6 +150,42 @@ def act_scales_tuple(calibrated_params) -> tuple:
     return tuple(sorted(out))
 
 
+# Backbone matmuls that carry ~99% of extraction FLOPs (Swin/ViT qkv,
+# attention out-proj, FFN). Conv patch embeds, LayerNorms, and the tiny
+# PatchMerging reductions stay fp32/bf16.
+BACKBONE_QUANT_MODULES = ("qkv", "proj", "fc1", "fc2")
+
+
+def quantize_backbone_params(params: Dict) -> Dict:
+    """fp32 backbone param tree (Swin3D / VideoMAE ViT) -> tree matching
+    the modules' ``quantized=True`` layout: 2-D kernels under
+    qkv/proj/fc1/fc2 become (kernel_q, kernel_scale); the ViT's packed
+    ``qkv_kernel`` leaf moves into an Int8Dense-shaped ``qkv`` child
+    (its q/v biases stay separate, k bias is structurally zero)."""
+
+    def walk(node, path):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for key, val in node.items():
+            if key == "qkv_kernel":
+                w_q, scale = quantize_kernel(val)
+                out["qkv"] = {"kernel_q": jnp.asarray(w_q),
+                              "kernel_scale": jnp.asarray(scale)}
+            elif isinstance(val, dict):
+                out[key] = walk(val, path + (key,))
+            elif (key == "kernel" and np.ndim(val) == 2 and path
+                    and path[-1] in BACKBONE_QUANT_MODULES):
+                w_q, scale = quantize_kernel(val)
+                out["kernel_q"] = jnp.asarray(w_q)
+                out["kernel_scale"] = jnp.asarray(scale)
+            else:
+                out[key] = val
+        return out
+
+    return walk(params, ())
+
+
 def _is_quantizable(path_names: Tuple[str, ...], leaf) -> bool:
     if path_names[-1] != "kernel" or np.ndim(leaf) != 2:
         return False
