@@ -79,6 +79,11 @@ class ModelConfig:
     # accumulate fp32) — measured +5% dense inference; accuracy bound in
     # tests/test_quant_accuracy.py
     fast_scores: bool = False
+    # training knob: dropout mask bit width. 32 = flax nn.Dropout
+    # bernoulli semantics (default); 8 = uint8 masks with a 1/256-
+    # quantized keep prob (``ops/dropout.py``) — 4x fewer generated
+    # random bits, statistically equivalent, not bit-exact.
+    dropout_bits: int = 32
     # Sequence parallelism: shard the token axis over the 'model' mesh
     # axis in the encoder's post-LN regions (Megatron-SP layout; XLA
     # GSPMD inserts the gather/scatter collectives). Requires an active

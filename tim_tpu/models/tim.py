@@ -80,6 +80,7 @@ class _TimBase(nn.Module):
             fused_ffn=cfg.use_fused_ffn,
             fast_scores=cfg.fast_scores,
             sequence_parallel=cfg.sequence_parallel,
+            dropout_bits=cfg.dropout_bits,
             name="encoder",
         )
 

@@ -64,6 +64,7 @@ class SelfAttention(nn.Module):
     quant_static_acts: bool = False
     act_scales: tuple = ()
     fast_scores: bool = False
+    dropout_bits: int = 32
 
     @nn.compact
     def __call__(self, x, num_ctx: int, *, deterministic: bool = True,
@@ -117,6 +118,7 @@ class SelfAttention(nn.Module):
             dropout_rate=self.dropout, dropout_rng=rng,
             deterministic=deterministic,
             score_dtype=jnp.bfloat16 if self.fast_scores else None,
+            dropout_bits=self.dropout_bits,
         )
         out = out.transpose(0, 2, 1, 3).reshape(b, s, self.d_model)
         return proj("out")(out)
@@ -139,6 +141,17 @@ class EncoderLayer(nn.Module):
     fused_ffn: bool = False
     fast_scores: bool = False
     sequence_parallel: bool = False
+    dropout_bits: int = 32
+
+    def _drop(self, x, deterministic: bool):
+        """Residual/FFN dropout; ``dropout_bits=8`` swaps the bernoulli
+        mask for the 4x-cheaper uint8 mask (``ops/dropout.py``)."""
+        if (self.dropout_bits == 8 and not deterministic
+                and self.dropout > 0.0):
+            from tim_tpu.ops.dropout import coarse_dropout
+            return coarse_dropout(self.make_rng("dropout"), x,
+                                  self.dropout)
+        return nn.Dropout(self.dropout, deterministic=deterministic)(x)
 
     @nn.compact
     def __call__(self, x, num_ctx: int, deterministic: bool = True,
@@ -147,7 +160,7 @@ class EncoderLayer(nn.Module):
             self.d_model, self.nhead, self.dropout, self.dtype,
             self.quantized, self.quant_static_acts,
             filter_scales(self.act_scales, "self_attn"),
-            self.fast_scores, name="self_attn",
+            self.fast_scores, self.dropout_bits, name="self_attn",
         )(x, num_ctx, deterministic=deterministic,
           shared_queries=shared_queries)
 
@@ -167,7 +180,7 @@ class EncoderLayer(nn.Module):
                 x, attn, ln1_s, ln1_b, w1, b1, w2, b2, ln2_s, ln2_b,
                 interpret=not fused_supported())
 
-        x = x + nn.Dropout(self.dropout, deterministic=deterministic)(attn)
+        x = x + self._drop(attn, deterministic)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(x)
         x = x.astype(self.dtype)
         if self.sequence_parallel:
@@ -185,9 +198,9 @@ class EncoderLayer(nn.Module):
                 return TorchLinear(feats, dtype=self.dtype, name=name)
         h = dense(self.dim_feedforward, "linear1")(x)
         h = exact_gelu(h)
-        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = self._drop(h, deterministic)
         h = dense(self.d_model, "linear2")(h)
-        x = x + nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        x = x + self._drop(h, deterministic)
         x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(x)
         x = x.astype(self.dtype)
         if self.sequence_parallel:
@@ -215,6 +228,7 @@ class Encoder(nn.Module):
     fused_ffn: bool = False
     fast_scores: bool = False
     sequence_parallel: bool = False
+    dropout_bits: int = 32
 
     @nn.compact
     def __call__(self, x, num_ctx: int, *, deterministic: bool = True,
@@ -231,6 +245,7 @@ class Encoder(nn.Module):
                 self.fused_ffn,
                 self.fast_scores,
                 self.sequence_parallel,
+                self.dropout_bits,
                 name=f"layer{i}",
                 # only layer 0 sees batch-identical query tokens
             )(x, num_ctx, deterministic, shared_queries and i == 0)

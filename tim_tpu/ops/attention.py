@@ -56,8 +56,12 @@ def tim_attention_mask(seq_len: int, num_ctx: int) -> jnp.ndarray:
     return allowed
 
 
-def _attn_dropout(rng, weights, rate: float, deterministic: bool):
-    """Dropout on post-softmax attention weights (torch MHA placement)."""
+def _attn_dropout(rng, weights, rate: float, deterministic: bool,
+                  bits: int = 32):
+    """Dropout on post-softmax attention weights (torch MHA placement).
+
+    ``bits=8`` uses the uint8-mask variant (``ops/dropout.py``) — 4x
+    fewer generated random bits, statistically equivalent."""
     if deterministic or rate == 0.0:
         return weights
     if rng is None:
@@ -65,6 +69,9 @@ def _attn_dropout(rng, weights, rate: float, deterministic: bool):
             "attention dropout with deterministic=False requires a "
             "dropout rng; pass deterministic=True or dropout_rate=0.0 "
             "for eval")
+    if bits == 8:
+        from tim_tpu.ops.dropout import coarse_dropout
+        return coarse_dropout(rng, weights, rate)
     keep = jax.random.bernoulli(rng, 1.0 - rate, weights.shape)
     return jnp.where(keep, weights / (1.0 - rate), jnp.zeros_like(weights))
 
@@ -79,6 +86,7 @@ def tim_attention(
     dropout_rng: Optional[jax.Array] = None,
     deterministic: bool = True,
     score_dtype=None,
+    dropout_bits: int = 32,
 ) -> jnp.ndarray:
     """Structured TIM attention.
 
@@ -120,7 +128,8 @@ def tim_attention(
         "bhqd,bhkd->bhqk", qc, kc, preferred_element_type=sdt
     )
     ctx_w = jax.nn.softmax(ctx_scores, axis=-1)
-    ctx_w = _attn_dropout(rng_c, ctx_w, dropout_rate, deterministic)
+    ctx_w = _attn_dropout(rng_c, ctx_w, dropout_rate, deterministic,
+                          dropout_bits)
     ctx_out = jnp.einsum(
         "bhqk,bhkd->bhqd", ctx_w.astype(orig_dtype), vc,
         preferred_element_type=jnp.float32,
@@ -158,8 +167,10 @@ def tim_attention(
     w_self = e_self / denom
     if not deterministic and dropout_rate > 0.0:
         rng_cq, rng_sq = jax.random.split(rng_q)
-        w_ctx = _attn_dropout(rng_cq, w_ctx, dropout_rate, deterministic)
-        w_self = _attn_dropout(rng_sq, w_self, dropout_rate, deterministic)
+        w_ctx = _attn_dropout(rng_cq, w_ctx, dropout_rate, deterministic,
+                              dropout_bits)
+        w_self = _attn_dropout(rng_sq, w_self, dropout_rate,
+                               deterministic, dropout_bits)
     qry_out = jnp.einsum(
         "bhqk,bhkd->bhqd", w_ctx.astype(orig_dtype), vc,
         preferred_element_type=jnp.float32,
