@@ -101,6 +101,47 @@ def bench_attn():
         block_sizes=_flash_block_sizes(s)))(q, k, v), np.float32)
     print(f"[micro] flash vs xla max |d|: {np.abs(ref - got).max():.3e} "
           f"(measured 3.1e-5 at out scale ~2e-3)", flush=True)
+
+    # VERDICT r3 task: 128-multiple tiling via padding S 1568 -> 1664
+    # (13*128) with segment_ids masking the 96 pad keys, vs the shipped
+    # full-S single block.
+    s_pad = 1664
+    pad = s_pad - s
+    qp = jnp.pad(q, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    seg = jnp.pad(jnp.ones((b, s), jnp.int32), ((0, 0), (0, pad)),
+                  constant_values=2)
+    for bq, bkv in ((128, 128), (416, 416), (832, 832), (1664, 1664)):
+        bs = fa.BlockSizes(
+            block_q=bq, block_k_major=bkv, block_k=bkv, block_b=1,
+            block_q_major_dkv=bq, block_k_major_dkv=bkv,
+            block_k_dkv=bkv, block_q_dkv=bq,
+            block_k_major_dq=bkv, block_k_dq=bkv, block_q_dq=bq)
+
+        def flash_pad(qp, kp, vp, bs=bs):
+            return fa.flash_attention(
+                qp, kp, vp, segment_ids=fa.SegmentIds(q=seg, kv=seg),
+                sm_scale=scale, block_sizes=bs)
+
+        try:
+            t = chained_time(flash_pad, qp, kp, vp,
+                             tag=f"pallas flash PAD1664 bq={bq}")
+            results[f"flash_pad_{bq}"] = t
+        except Exception as exc:
+            print(f"[micro] flash pad bq={bq} failed: "
+                  f"{type(exc).__name__}: {str(exc)[:200]}", flush=True)
+    gotp = np.asarray(jax.jit(
+        lambda a, c, d: fa.flash_attention(
+            a, c, d, segment_ids=fa.SegmentIds(q=seg, kv=seg),
+            sm_scale=scale, block_sizes=fa.BlockSizes(
+                block_q=128, block_k_major=128, block_k=128, block_b=1,
+                block_q_major_dkv=128, block_k_major_dkv=128,
+                block_k_dkv=128, block_q_dkv=128, block_k_major_dq=128,
+                block_k_dq=128, block_q_dq=128)))(qp, kp, vp),
+        np.float32)[:, :, :s]
+    print(f"[micro] padded-128 flash vs xla max |d|: "
+          f"{np.abs(ref - gotp).max():.3e}", flush=True)
     return results
 
 
@@ -175,10 +216,87 @@ def bench_swin(failures):
                   flush=True)
 
 
+def bench_int8(failures):
+    """int8-static backbone matmuls on top of flash attention (the
+    serving config): calibrate on-device, then time b8/b16 and print
+    feature-level parity vs the bf16-flash path."""
+    import jax
+    import jax.numpy as jnp
+
+    from tim_tpu.models.backbones.swin3d import SwinTransformer3D
+    from tim_tpu.models.backbones.vit import VideoMAEViT
+    from tim_tpu.ops import quant
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    skippable = (RuntimeError, jax.errors.JaxRuntimeError)
+
+    def strip(node):
+        if not isinstance(node, dict):
+            return node
+        return {k: strip(v) for k, v in node.items() if k != "act_scale"}
+
+    cases = [
+        ("vit-l", lambda **kw: VideoMAEViT(dtype=jnp.bfloat16,
+                                           use_flash=True, **kw),
+         (16, 224, 224, 3)),
+        ("swin-b", lambda **kw: SwinTransformer3D(dtype=jnp.bfloat16,
+                                                  use_flash=True, **kw),
+         (32, 224, 224, 3)),
+    ]
+    for name, make, clip_shape in cases:
+        clip8 = jnp.asarray(
+            rng.normal(size=(8,) + clip_shape) * 0.1, jnp.bfloat16)
+        fp_model = make()
+        params = fp_model.init(key, clip8)["params"]
+        t_fp = chained_time(
+            lambda c, p: fp_model.apply({"params": p}, c), clip8, params,
+            tag=f"{name} b8 flash bf16 (control)")
+
+        qp = quant.quantize_backbone_params(params)
+        qdyn = make(quantized=True)
+        cal = quant.calibrate_act_scales(
+            lambda vs, b, m: qdyn.apply(vs, b, mutable=m),
+            {"params": qp}, [clip8[:2]])
+        scales = quant.act_scales_tuple(cal)
+        print(f"[int8] {name}: {len(scales)} calibrated act scales",
+              flush=True)
+        qmodel = make(quantized=True, act_scales=scales)
+        sparams = strip(cal)
+
+        # feature-level parity (the accuracy contract's raw ingredient)
+        want = np.asarray(jax.jit(fp_model.apply)(
+            {"params": params}, clip8[:2]), np.float32)
+        got = np.asarray(jax.jit(qmodel.apply)(
+            {"params": sparams}, clip8[:2]), np.float32)
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        print(f"[int8] {name} feature rel delta vs bf16-flash: {rel:.4f}",
+              flush=True)
+
+        for batch in (8, 16):
+            clip = clip8 if batch == 8 else jnp.asarray(
+                rng.normal(size=(batch,) + clip_shape) * 0.1,
+                jnp.bfloat16)
+            tag = f"{name} b{batch} flash int8-static"
+            try:
+                t = chained_time(
+                    lambda c, p: qmodel.apply({"params": p}, c), clip,
+                    sparams, tag=tag)
+            except skippable as exc:
+                print(f"[int8] {tag} failed: {type(exc).__name__}: "
+                      f"{str(exc)[:160]}", flush=True)
+                failures.append(tag)
+                continue
+            per_clip = t / batch * 1e3
+            note = f" ({t_fp / 8 * 1e3:.2f} bf16)" if batch == 8 else ""
+            print(f"[int8] {tag}: {per_clip:.2f} ms/clip{note}",
+                  flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--part", default="all",
-                    choices=["attn", "vit", "swin", "all"])
+                    choices=["attn", "vit", "swin", "int8", "all"])
     args = ap.parse_args()
     import jax
     print("devices:", jax.devices(), flush=True)
@@ -189,6 +307,8 @@ def main():
         bench_vit()
     if args.part in ("swin", "all"):
         bench_swin(failures)
+    if args.part in ("int8", "all"):
+        bench_int8(failures)
     if failures:
         print(f"[micro] PARTIAL SWEEP — {len(failures)} config(s) "
               f"skipped: {failures}", flush=True)

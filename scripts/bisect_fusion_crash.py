@@ -1,0 +1,228 @@
+"""Bisect the detection-graph crash of
+``xla_tpu_enable_experimental_fusion_cost_model`` (VERDICT r3 task 5).
+
+The flag wins +10-12% on the recognition train step but crashes the
+relay compiler on the detection train graph (docs/PERFORMANCE.md). This
+script AOT-compiles (no execution) a ladder of detection subgraphs with
+the flag on, from the full train step down to a bare encoder backward,
+and reports which component flips compile-ok into a crash.
+
+Run: python scripts/bisect_fusion_crash.py [--batch 64] [--variant all]
+"""
+
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+OPTS = {"xla_tpu_enable_experimental_fusion_cost_model": "true"}
+
+
+def build(batch):
+    import jax
+    import jax.numpy as jnp
+
+    from tim_tpu import config as C
+    from tim_tpu.models import TimDetection
+    from tim_tpu.models.queries import generate_query_pyramid
+
+    cfg = C.epic_detection()
+    nf = cfg.num_feats
+    nq = generate_query_pyramid(cfg.inference_query_size).shape[0]
+    na_gt = 8
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    batch_d = {
+        "v_feats": jnp.asarray(rng.normal(
+            size=(batch, nf, cfg.visual_input_dim)), jnp.float32),
+        "a_feats": jnp.asarray(rng.normal(
+            size=(batch, nf, cfg.audio_input_dim)), jnp.float32),
+        "times": jnp.asarray(rng.uniform(size=(batch, 2 * nf, 2)),
+                             jnp.float32),
+        "v_gt_segments": jnp.asarray(np.sort(rng.uniform(
+            0, 1, (batch, na_gt, 2)), -1), jnp.float32),
+        "a_gt_segments": jnp.asarray(np.sort(rng.uniform(
+            0, 1, (batch, na_gt, 2)), -1), jnp.float32),
+        "verb": jnp.asarray(rng.integers(-1, 97, (batch, na_gt))),
+        "noun": jnp.asarray(rng.integers(-1, 300, (batch, na_gt))),
+        "action": jnp.asarray(rng.integers(-1, 3806, (batch, na_gt))),
+        "class_id": jnp.asarray(rng.integers(-1, 44, (batch, na_gt))),
+    }
+    model = TimDetection(cfg)
+    t_dummy = jnp.zeros((batch, 2 * nf + 2 * nq, 2))
+    variables = model.init({"params": key, "dropout": key},
+                           batch_d["v_feats"], batch_d["a_feats"],
+                           t_dummy, nq, nq, deterministic=True)
+    return cfg, model, variables, batch_d, nq, key
+
+
+def try_compile(tag, jitted, *args):
+    import jax
+
+    try:
+        jitted.lower(*args).compile()
+        print(f"[bisect] {tag}: COMPILE-OK", flush=True)
+        return True
+    except Exception as exc:
+        msg = str(exc).replace("\n", " ")[:220]
+        print(f"[bisect] {tag}: CRASH {type(exc).__name__}: {msg}",
+              flush=True)
+        return False
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tim_tpu import config as C
+    from tim_tpu.models import TimDetection
+    from tim_tpu.ops import losses as L
+    from tim_tpu.train import detection as det_train
+    from tim_tpu.train.optim import make_optimizer
+    from tim_tpu.train.state import create_train_state, training_rng
+
+    print("devices:", jax.devices(), flush=True)
+    cfg, model, variables, batch_d, nq, key = build(args.batch)
+    tcfg = C.TrainConfig()
+    tx = make_optimizer(tcfg.lr, 0.05, 10000, 100)
+    state = create_train_state(variables["params"], tx,
+                               normaliser=tcfg.normaliser_init)
+    step_rng = training_rng(0, tcfg.rng_impl)
+
+    def full_step(tcfg_v, tag, cfg_v=None):
+        m = TimDetection(cfg_v) if cfg_v is not None else model
+        step = jax.jit(det_train.make_train_step(m, cfg_v or cfg, tcfg_v),
+                       compiler_options=OPTS)
+        rng_v = training_rng(0, tcfg_v.rng_impl)
+        return try_compile(tag, step, state, batch_d, rng_v)
+
+    # 1. control: the full train step (known crash)
+    full_step(tcfg, "full train step (rbg dropout)")
+
+    # 2. rng implementation
+    full_step(dataclasses.replace(tcfg, rng_impl="threefry2x32"),
+              "full train step (threefry dropout)")
+
+    # 3. dropout off entirely
+    cfg_nodrop = dataclasses.replace(cfg, dropout=0.0)
+    full_step(tcfg, "full train step (dropout=0)", cfg_nodrop)
+
+    # 4. forward+loss only (no grad, no optimizer)
+    def fwd_loss(params, batch, rng):
+        te = model.apply({"params": params}, batch["times"],
+                         method=TimDetection.encode_times)
+        cls_logits, reg_preds, _ = model.apply(
+            {"params": params}, batch["v_feats"], batch["a_feats"],
+            jnp.concatenate([te, te[:, :2 * nq]], axis=1), nq, nq,
+            deterministic=True, method=TimDetection.encoder_forward)
+        w = jnp.ones((args.batch * nq,), jnp.float32)
+        lab = jnp.clip(batch["action"][:, :1], 0, None)
+        lab = jnp.broadcast_to(lab, (args.batch, nq)).reshape(-1)
+        return (L.sigmoid_focal_loss_smoothed(
+                    cls_logits[2].reshape(-1, cls_logits[2].shape[-1]),
+                    lab, cfg.label_smoothing, alpha=tcfg.focal_alpha,
+                    gamma=tcfg.focal_gamma, weights=w)
+                + L.ctr_diou_loss_1d(
+                    reg_preds[0].reshape(-1, 2),
+                    jnp.zeros((args.batch * nq, 2)), reduction="none"
+                    ).sum())
+
+    try_compile("forward + focal + diou (no grad)",
+                jax.jit(fwd_loss, compiler_options=OPTS),
+                state.params, batch_d, step_rng)
+
+    # 5. grad of focal-only / diou-only / bare-encoder losses
+    def grad_of(loss_kind):
+        def loss(params, batch, rng):
+            te = model.apply({"params": params}, batch["times"],
+                             method=TimDetection.encode_times)
+            cls_logits, reg_preds, _ = model.apply(
+                {"params": params}, batch["v_feats"], batch["a_feats"],
+                jnp.concatenate([te, te[:, :2 * nq]], axis=1), nq, nq,
+                deterministic=False, rngs={"dropout": rng},
+                method=TimDetection.encoder_forward)
+            if loss_kind == "focal":
+                lab = jnp.clip(batch["action"][:, :1], 0, None)
+                lab = jnp.broadcast_to(lab, (args.batch, nq)).reshape(-1)
+                return L.sigmoid_focal_loss_smoothed(
+                    cls_logits[2].reshape(-1, cls_logits[2].shape[-1]),
+                    lab, cfg.label_smoothing, alpha=tcfg.focal_alpha,
+                    gamma=tcfg.focal_gamma,
+                    weights=jnp.ones((args.batch * nq,), jnp.float32))
+            if loss_kind == "diou":
+                return L.ctr_diou_loss_1d(
+                    reg_preds[0].reshape(-1, 2),
+                    jnp.zeros((args.batch * nq, 2)),
+                    reduction="none").sum()
+            return sum(jnp.sum(x.astype(jnp.float32) ** 2)
+                       for x in cls_logits if x is not None)
+        return jax.jit(jax.grad(loss), compiler_options=OPTS)
+
+    for kind, tag in (("focal", "grad: encoder + focal only"),
+                      ("diou", "grad: encoder + diou only"),
+                      ("bare", "grad: encoder + sum-sq logits")):
+        try_compile(tag, grad_of(kind), state.params, batch_d, step_rng)
+
+    # 6. full loss grads WITHOUT the optimizer update
+    def grads_only(params, batch, rng):
+        step = det_train.make_train_step(model, cfg, tcfg)
+        # reuse the internal loss by running value_and_grad via the step's
+        # closure is not accessible; approximate with label_queries + the
+        # modality losses, matching the real loss structure.
+        from tim_tpu.models import queries as Q
+        pool = jnp.asarray(Q.generate_query_pyramid(cfg.train_query_size))
+        r1, r2, rd = jax.random.split(rng, 3)
+        v_qs = Q.sample_train_queries(r1, pool, nq)
+        a_qs = Q.sample_train_queries(r2, pool, nq)
+        bsz = batch["times"].shape[0]
+        v_queries = jnp.broadcast_to(v_qs[None], (bsz, nq, 2))
+        a_queries = jnp.broadcast_to(a_qs[None], (bsz, nq, 2))
+
+        def loss_fn(p):
+            vv = {"params": p}
+            te_parts = [model.apply(vv, batch["times"],
+                                    method=TimDetection.encode_times)]
+            for qs in (v_qs, a_qs):
+                te_q = model.apply(vv, qs[None],
+                                   method=TimDetection.encode_times)
+                te_parts.append(jnp.broadcast_to(te_q,
+                                                 (bsz,) + te_q.shape[1:]))
+            te = jnp.concatenate(te_parts, axis=1)
+            cls_logits, reg_preds, _ = model.apply(
+                vv, batch["v_feats"], batch["a_feats"], te, nq, nq,
+                deterministic=False, rngs={"dropout": rd},
+                method=TimDetection.encoder_forward)
+            v_labels_raw = jnp.stack(
+                [batch["verb"], batch["noun"], batch["action"]], axis=-1)
+            v_t, v_l, v_i = Q.label_queries(
+                v_queries, batch["v_gt_segments"], v_labels_raw,
+                cfg.iou_threshold)
+            v_cls, v_reg, _, _ = det_train._modality_losses(
+                cls_logits, reg_preds[0], v_t, v_l, v_i, cfg, tcfg,
+                jnp.float32(tcfg.normaliser_init), "visual")
+            a_t, a_l, a_i = Q.label_queries(
+                a_queries, batch["a_gt_segments"],
+                batch["class_id"][..., None], cfg.iou_threshold)
+            a_cls, a_reg, _, _ = det_train._modality_losses(
+                cls_logits, reg_preds[1], a_t, a_l, a_i, cfg, tcfg,
+                jnp.float32(tcfg.normaliser_init), "audio")
+            return v_cls + v_reg + tcfg.lambda_audio * (a_cls + a_reg)
+
+        return jax.grad(loss_fn)(params)
+
+    try_compile("full loss grads (no optimizer)",
+                jax.jit(grads_only, compiler_options=OPTS),
+                state.params, batch_d, step_rng)
+
+
+if __name__ == "__main__":
+    main()

@@ -145,6 +145,10 @@ def test_detection_int8_mAP_delta(det_bundle):
     # AP rides on the ranking of a handful of detections) cannot fail an
     # accuracy-degradation contract. The old |delta| <= 0.02 absolute
     # bound would wave through ~10% relative damage at EPIC's ~0.2 mAP.
+    # Margin vs fixture re-rolls: characterized over 4 (data, train)
+    # seeds (scripts/characterize_quant_margin.py) — worst observed
+    # degradation +0.93% rel (headline and int8 alike), i.e. >= 2.1x
+    # margin on every roll; see docs/PERFORMANCE.md.
     for tag in ("int8", "headline"):
         degradation = maps["fp32"] - maps[tag]
         bound = max(0.02 * maps["fp32"], 0.005)
