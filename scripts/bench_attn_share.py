@@ -51,13 +51,76 @@ def main():
     k = jnp.asarray(rng.normal(size=(b, h, s, dh)) * 0.1, jnp.bfloat16)
     v = jnp.asarray(rng.normal(size=(b, h, s, dh)) * 0.1, jnp.bfloat16)
 
-    for tag, sdt in (("fp32 scores (parity)", jnp.float32),
-                     ("bf16 scores (fast_scores)", jnp.bfloat16)):
+    # static-int8 variant of the structured chain: q/k/v quantized with
+    # COMPILE-TIME scales (calibration-style), post-softmax weights
+    # quantized at the known [0,1] range (scale 1/127 exactly). The
+    # attention core is HBM-bound, not FLOP-bound (21 GFLOP but ~21 ms/
+    # step) — int8 halves operand bytes, so it can win even without the
+    # MXU int8 rate.
+    s_q = float(np.abs(np.asarray(q, np.float32)).max() / 127.0)
+    s_k = float(np.abs(np.asarray(k, np.float32)).max() / 127.0)
+    s_v = float(np.abs(np.asarray(v, np.float32)).max() / 127.0)
+    scale_sm = 1.0 / np.sqrt(dh)
+
+    def quant(x, sc):
+        return jnp.clip(jnp.round(x.astype(jnp.float32) / sc),
+                        -127, 127).astype(jnp.int8)
+
+    def int8_attention(q, k, v):
+        qc, qq = q[:, :, :num_ctx], q[:, :, num_ctx:]
+        kc, kq = k[:, :, :num_ctx], k[:, :, num_ctx:]
+        vc, vq = v[:, :, :num_ctx], v[:, :, num_ctx:]
+        qc8, qq8 = quant(qc, s_q), quant(qq, s_q)
+        kc8 = quant(kc, s_k)
+        vc8 = quant(vc, s_v)
+        dn_qk = (((3,), (3,)), ((0, 1), (0, 1)))
+        dn_pv = (((3,), (2,)), ((0, 1), (0, 1)))
+        deq_qk = jnp.float32(s_q * s_k * scale_sm)
+
+        ctx_scores = jax.lax.dot_general(
+            qc8, kc8, dn_qk, preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * deq_qk
+        ctx_w = jax.nn.softmax(ctx_scores, axis=-1)
+        ctx_w8 = quant(ctx_w, 1.0 / 127.0)
+        ctx_out = (jax.lax.dot_general(
+            ctx_w8, vc8, dn_pv, preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * jnp.float32(s_v / 127.0)
+        ).astype(q.dtype)
+
+        qry_scores = jax.lax.dot_general(
+            qq8, kc8, dn_qk, preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * deq_qk
+        self_scores = jnp.sum(
+            qq.astype(jnp.float32) * kq.astype(jnp.float32), axis=-1,
+            keepdims=True) * scale_sm
+        m = jnp.maximum(jnp.max(qry_scores, axis=-1, keepdims=True),
+                        self_scores)
+        e_ctx = jnp.exp(qry_scores - m)
+        e_self = jnp.exp(self_scores - m)
+        denom = jnp.sum(e_ctx, axis=-1, keepdims=True) + e_self
+        w_ctx8 = quant(e_ctx / denom, 1.0 / 127.0)
+        w_self = (e_self / denom).astype(q.dtype)
+        qry_out = (jax.lax.dot_general(
+            w_ctx8, vc8, dn_pv, preferred_element_type=jnp.int32
+        ).astype(jnp.float32) * jnp.float32(s_v / 127.0)
+        ).astype(q.dtype)
+        qry_out = qry_out + w_self * vq
+        return jnp.concatenate([ctx_out, qry_out], axis=2)
+
+    variants = [
+        ("fp32 scores (parity)",
+         lambda q, k, v: tim_attention(q, k, v, num_ctx,
+                                       score_dtype=jnp.float32)),
+        ("bf16 scores (fast_scores)",
+         lambda q, k, v: tim_attention(q, k, v, num_ctx,
+                                       score_dtype=jnp.bfloat16)),
+        ("static-int8 einsums", int8_attention),
+    ]
+    for tag, fn in variants:
         @jax.jit
-        def chained(q, k, v, sdt=sdt):
+        def chained(q, k, v, fn=fn):
             def body(_, carry):
-                out = tim_attention(q + carry.astype(q.dtype), k, v,
-                                    num_ctx, score_dtype=sdt)
+                out = fn(q + carry.astype(q.dtype), k, v)
                 return jnp.max(out).astype(jnp.float32) * jnp.float32(1e-9)
             return jax.lax.fori_loop(0, args.iters, body, jnp.float32(0))
 
@@ -72,6 +135,15 @@ def main():
               f"{step_ms:.2f} ms for {cfg.num_layers} layers = "
               f"{step_ms / full_step_ms * 100:.1f}% of the "
               f"{full_step_ms:.1f} ms headline step", flush=True)
+
+    # numeric sanity of the int8 chain vs fp32 (same inputs)
+    ref = np.asarray(jax.jit(lambda q, k, v: tim_attention(
+        q, k, v, num_ctx, score_dtype=jnp.float32))(q, k, v), np.float32)
+    got = np.asarray(jax.jit(int8_attention)(q, k, v), np.float32)
+    denom = np.abs(ref).max()
+    print(f"[attn-share] int8 vs fp32 max |d|: "
+          f"{np.abs(ref - got).max():.4f} (out scale {denom:.3f})",
+          flush=True)
 
 
 if __name__ == "__main__":

@@ -75,6 +75,113 @@ def bench_mm():
             x3, tag=f"{tag} [8x1568x{k}x{n}] int8-static 3-D")
 
 
+def bench_trace():
+    """Isolate WHY the int8 block is ~5x slower while the bare
+    closure-const matmul wins: traced vs constant int8 weights, and the
+    LN->quantize->matmul->gelu chain."""
+    import jax
+    import jax.numpy as jnp
+
+    from tim_tpu.ops.quant import int8_matmul_static, quantize_kernel
+
+    rng = np.random.default_rng(0)
+    m, k, n = 8 * 1568, 1024, 4096
+    x = jnp.asarray(rng.normal(size=(m, k)) * 0.1, jnp.bfloat16)
+    w = rng.normal(size=(k, n)).astype(np.float32) * 0.02
+    w_q_h, w_s_h = quantize_kernel(w)
+    w_q, w_s = jnp.asarray(w_q_h), jnp.asarray(w_s_h)
+    w2 = rng.normal(size=(n, k)).astype(np.float32) * 0.02
+    w2_q_h, w2_s_h = quantize_kernel(w2)
+    w2_q, w2_s = jnp.asarray(w2_q_h), jnp.asarray(w2_s_h)
+    act_scale = 0.5 / 127.0
+
+    # A. closure-const weights (the winning micro config)
+    chained_time(lambda x: int8_matmul_static(
+        x, w_q, w_s, act_scale).astype(jnp.bfloat16),
+        x, tag="const int8 weights")
+
+    # B. traced weights (how model params arrive)
+    chained_time(lambda x, a, b: int8_matmul_static(
+        x, a, b, act_scale).astype(jnp.bfloat16),
+        x, w_q, w_s, tag="traced int8 weights")
+
+    # C. traced + fp32 LN in front (the ViTBlock context)
+    def ln(x):
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        return (xf - mu) * jax.lax.rsqrt(var + 1e-6)
+
+    chained_time(lambda x, a, b: int8_matmul_static(
+        ln(x).astype(jnp.bfloat16), a, b, act_scale).astype(jnp.bfloat16),
+        x, w_q, w_s, tag="LN(fp32) -> traced int8")
+
+    # D. the FFN pair with gelu between (residual chain), traced
+    from tim_tpu.models.common import exact_gelu
+
+    def ffn(x, a, b, c, d):
+        h = int8_matmul_static(ln(x).astype(jnp.bfloat16), a, b,
+                               act_scale).astype(jnp.bfloat16)
+        h = exact_gelu(h)
+        h = int8_matmul_static(h, c, d, act_scale).astype(jnp.bfloat16)
+        return x + h
+
+    chained_time(ffn, x, w_q, w_s, w2_q, w2_s, tag="traced int8 FFN pair")
+
+    def ffn_bf16(x, wb, w2b):
+        h = jnp.dot(ln(x).astype(jnp.bfloat16), wb,
+                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        h = exact_gelu(h)
+        h = jnp.dot(h, w2b,
+                    preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        return x + h
+
+    chained_time(ffn_bf16, x, jnp.asarray(w, jnp.bfloat16),
+                 jnp.asarray(w2, jnp.bfloat16), tag="bf16 FFN pair")
+
+
+def bench_attnmod():
+    """One VideoMAEAttention module (and its two Int8Dense halves),
+    quantized vs bf16, flash off — the FFN pair measured fine, so the
+    5.4x block regression must be here."""
+    import jax
+    import jax.numpy as jnp
+
+    from tim_tpu.models.backbones.vit import VideoMAEAttention
+    from tim_tpu.ops import quant
+
+    rng = np.random.default_rng(0)
+    key = jax.random.PRNGKey(0)
+    x = jnp.asarray(rng.normal(size=(8, 1568, 1024)) * 0.1, jnp.bfloat16)
+
+    fp = VideoMAEAttention(1024, 16, dtype=jnp.bfloat16)
+    params = fp.init(key, x)["params"]
+    chained_time(lambda x, p: fp.apply({"params": p}, x), x, params,
+                 tag="attn module bf16")
+
+    qp = quant.quantize_backbone_params(params)
+    qdyn = VideoMAEAttention(1024, 16, dtype=jnp.bfloat16, quantized=True)
+    cal = quant.calibrate_act_scales(
+        lambda vs, b, m: qdyn.apply(vs, b, mutable=m), {"params": qp}, [x])
+    scales = quant.act_scales_tuple(cal)
+    print(f"[int8-attr] attn module scales: {scales}", flush=True)
+
+    def strip(node):
+        if not isinstance(node, dict):
+            return node
+        return {k: strip(v) for k, v in node.items() if k != "act_scale"}
+
+    qmod = VideoMAEAttention(1024, 16, dtype=jnp.bfloat16, quantized=True,
+                             act_scales=scales)
+    sparams = strip(cal)
+    chained_time(lambda x, p: qmod.apply({"params": p}, x), x, sparams,
+                 tag="attn module int8-static")
+
+    # dynamic-quant variant (no static scales) for contrast
+    chained_time(lambda x, p: qdyn.apply({"params": p}, x), x, qp,
+                 tag="attn module int8-dynamic")
+
+
 def bench_block_and_model(part):
     """ViT-L quantized vs bf16 at block and full-model level."""
     import jax
@@ -123,12 +230,17 @@ def bench_block_and_model(part):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--part", default="all",
-                    choices=["mm", "block", "model", "all"])
+                    choices=["mm", "trace", "attnmod", "block", "model",
+                             "all"])
     args = ap.parse_args()
     import jax
     print("devices:", jax.devices(), flush=True)
     if args.part in ("mm", "all"):
         bench_mm()
+    if args.part in ("trace", "all"):
+        bench_trace()
+    if args.part in ("attnmod", "all"):
+        bench_attnmod()
     if args.part in ("block", "all"):
         bench_block_and_model("block")
     if args.part in ("model", "all"):
