@@ -105,16 +105,66 @@ def main():
         rng_v = training_rng(0, tcfg_v.rng_impl)
         return try_compile(tag, step, state, batch_d, rng_v)
 
-    # 1. control: the full train step (known crash)
-    full_step(tcfg, "full train step (rbg dropout)")
+    # 1. control: the full train step (crashed with threefry in round 3;
+    # re-test with the shipped rbg dropout)
+    ok_rbg = full_step(tcfg, "full train step (rbg dropout)")
+    if ok_rbg:
+        # the flag compiles now — time it vs the unflagged step (it won
+        # +10-12% on recognition; was never timeable on detection)
+        import time as _time
 
-    # 2. rng implementation
-    full_step(dataclasses.replace(tcfg, rng_impl="threefry2x32"),
-              "full train step (threefry dropout)")
+        def timed(opts, tag):
+            # the inner step must NOT carry compiler_options (JAX rejects
+            # them on nested jits); only the top-level jit below does.
+            step = det_train.make_train_step(model, cfg, tcfg)
 
-    # 3. dropout off entirely
-    cfg_nodrop = dataclasses.replace(cfg, dropout=0.0)
-    full_step(tcfg, "full train step (dropout=0)", cfg_nodrop)
+            def run(state, batch):
+                def body(i, carry):
+                    s, _ = carry
+                    s, metrics = step(s, batch, step_rng)
+                    return (s, metrics["loss"])
+                s, loss = jax.lax.fori_loop(0, 10, body,
+                                            (state, jnp.float32(0.0)))
+                return loss + jax.tree_util.tree_leaves(
+                    s.params)[0].sum().astype(jnp.float32) * 1e-9
+
+            # compiler_options must ride the TOP-LEVEL jit to reach the
+            # remote compiler (docs/PERFORMANCE.md round 2)
+            runj = jax.jit(run, compiler_options=opts)
+            float(runj(state, batch_d))
+            t0 = _time.perf_counter()
+            float(runj(state, batch_d))
+            dt = (_time.perf_counter() - t0) / 10
+            print(f"[bisect] {tag}: {args.batch / dt:.0f} win/s "
+                  f"({dt * 1e3:.1f} ms/step)", flush=True)
+
+        timed(None, "detection train b64, no flag")
+        timed(OPTS, "detection train b64, fusion-cost-model ON")
+
+    # 2. rng implementation: threefry was the round-3 crasher. Repro
+    # with the historical bernoulli masks (dropout_bits=32), with the
+    # new uint8 masks, and with dropout off (isolates mask *generation*
+    # from key-derivation threefry which every variant shares).
+    tcfg_tf = dataclasses.replace(tcfg, rng_impl="threefry2x32")
+    cfg32 = dataclasses.replace(cfg, dropout_bits=32)
+    ok_tf32 = full_step(tcfg_tf, "threefry + bernoulli masks (bits=32)",
+                        cfg32)
+    full_step(tcfg_tf, "threefry + uint8 masks (bits=8)")
+    cfg_nodrop = dataclasses.replace(cfg32, enc_dropout=0.0,
+                                     feat_dropout=0.0, seq_dropout=0.0)
+    full_step(tcfg_tf, "threefry + dropout=0", cfg_nodrop)
+    if ok_tf32:
+        # nothing crashes anymore — the finer ladder below is moot
+        print("[bisect] threefry bits=32 compiles: round-3 crash is "
+              "not reproducible on this relay build", flush=True)
+        return
+
+    # the ladder below bisects the CRASHING config: bernoulli masks
+    # (bits=32) drawn from threefry keys
+    model = TimDetection(cfg32)
+    cfg = cfg32
+    tcfg = tcfg_tf
+    step_rng = training_rng(0, tcfg_tf.rng_impl)
 
     # 4. forward+loss only (no grad, no optimizer)
     def fwd_loss(params, batch, rng):

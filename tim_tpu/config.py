@@ -80,9 +80,11 @@ class ModelConfig:
     # tests/test_quant_accuracy.py
     fast_scores: bool = False
     # training knob: dropout mask bit width. 32 = flax nn.Dropout
-    # bernoulli semantics (default); 8 = uint8 masks with a 1/256-
-    # quantized keep prob (``ops/dropout.py``) — 4x fewer generated
-    # random bits, statistically equivalent, not bit-exact.
+    # bernoulli semantics; 8 = uint8 masks with a 1/256-quantized keep
+    # prob (``ops/dropout.py``) — 4x fewer generated random bits,
+    # statistically equivalent, not bit-exact. Recognition default 32
+    # (measured flat); detection default 8 (246->291 win/s measured,
+    # see DetectionConfig).
     dropout_bits: int = 32
     # Sequence parallelism: shard the token axis over the 'model' mesh
     # axis in the encoder's post-LN regions (Megatron-SP layout; XLA
@@ -123,6 +125,10 @@ class DetectionConfig(ModelConfig):
     num_layers: int = 6
     visual_input_dim: int = 2048
     include_verb_noun: bool = False
+    # Detection trains with uint8-mask dropout by default: 246 -> 291
+    # win/s measured on v5e (dropout RNG was ~1/3 of the step; see
+    # docs/PERFORMANCE.md). 32 restores flax nn.Dropout draws.
+    dropout_bits: int = 8
 
     iou_threshold: float = 0.6
     label_smoothing: float = 0.9     # positive-label one-hot scale
