@@ -225,6 +225,13 @@ def bench_block_and_model(part):
             tag=f"vit d{depth} int8-static flash={use_flash}")
         print(f"[int8-attr] vit d{depth} flash={use_flash}: int8/bf16 = "
               f"{t_q / t_fp:.2f}x", flush=True)
+        # dynamic per-row act scales (no static consts): the attn-module
+        # micro showed dynamic ~= bf16, static-const 2.5x slower
+        t_d = chained_time(
+            lambda c, p: qdyn.apply({"params": p}, c), clip, qp,
+            tag=f"vit d{depth} int8-dynamic flash={use_flash}")
+        print(f"[int8-attr] vit d{depth} flash={use_flash}: "
+              f"dyn-int8/bf16 = {t_d / t_fp:.2f}x", flush=True)
 
 
 def main():

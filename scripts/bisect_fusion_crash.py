@@ -1,13 +1,23 @@
 """Bisect the detection-graph crash of
 ``xla_tpu_enable_experimental_fusion_cost_model`` (VERDICT r3 task 5).
 
-The flag wins +10-12% on the recognition train step but crashes the
-relay compiler on the detection train graph (docs/PERFORMANCE.md). This
-script AOT-compiles (no execution) a ladder of detection subgraphs with
-the flag on, from the full train step down to a bare encoder backward,
-and reports which component flips compile-ok into a crash.
+The flag wins +10-12% on the recognition train step but crashed the
+relay compiler on the round-3 detection train graph. This script
+AOT-compiles a ladder of detection train-step variants with the flag
+on and reports which flips compile-ok into a crash.
 
-Run: python scripts/bisect_fusion_crash.py [--batch 64] [--variant all]
+Measured on v5e (round 4, docs/PERFORMANCE.md):
+- shipped defaults (rbg keys + uint8 masks): COMPILE-OK; timed 288
+  win/s without the flag vs 283 with it -> the flag stays
+  recognition-only.
+- threefry + bernoulli masks (bits=32, the round-3 config): CRASH
+  reproduced (relay HTTP 500, tpu_compile_helper exit 1).
+- threefry + uint8 masks, threefry + dropout=0, and full-loss grads
+  WITHOUT the optimizer update (threefry bernoulli): all COMPILE-OK.
+=> the trigger is threefry 32-bit bernoulli mask generation inside the
+full fused train step; both shipped dropout paths avoid it.
+
+Run: python scripts/bisect_fusion_crash.py [--batch 64]
 """
 
 import argparse
@@ -85,7 +95,6 @@ def main():
 
     from tim_tpu import config as C
     from tim_tpu.models import TimDetection
-    from tim_tpu.ops import losses as L
     from tim_tpu.train import detection as det_train
     from tim_tpu.train.optim import make_optimizer
     from tim_tpu.train.state import create_train_state, training_rng
@@ -166,63 +175,7 @@ def main():
     tcfg = tcfg_tf
     step_rng = training_rng(0, tcfg_tf.rng_impl)
 
-    # 4. forward+loss only (no grad, no optimizer)
-    def fwd_loss(params, batch, rng):
-        te = model.apply({"params": params}, batch["times"],
-                         method=TimDetection.encode_times)
-        cls_logits, reg_preds, _ = model.apply(
-            {"params": params}, batch["v_feats"], batch["a_feats"],
-            jnp.concatenate([te, te[:, :2 * nq]], axis=1), nq, nq,
-            deterministic=True, method=TimDetection.encoder_forward)
-        w = jnp.ones((args.batch * nq,), jnp.float32)
-        lab = jnp.clip(batch["action"][:, :1], 0, None)
-        lab = jnp.broadcast_to(lab, (args.batch, nq)).reshape(-1)
-        return (L.sigmoid_focal_loss_smoothed(
-                    cls_logits[2].reshape(-1, cls_logits[2].shape[-1]),
-                    lab, cfg.label_smoothing, alpha=tcfg.focal_alpha,
-                    gamma=tcfg.focal_gamma, weights=w)
-                + L.ctr_diou_loss_1d(
-                    reg_preds[0].reshape(-1, 2),
-                    jnp.zeros((args.batch * nq, 2)), reduction="none"
-                    ).sum())
-
-    try_compile("forward + focal + diou (no grad)",
-                jax.jit(fwd_loss, compiler_options=OPTS),
-                state.params, batch_d, step_rng)
-
-    # 5. grad of focal-only / diou-only / bare-encoder losses
-    def grad_of(loss_kind):
-        def loss(params, batch, rng):
-            te = model.apply({"params": params}, batch["times"],
-                             method=TimDetection.encode_times)
-            cls_logits, reg_preds, _ = model.apply(
-                {"params": params}, batch["v_feats"], batch["a_feats"],
-                jnp.concatenate([te, te[:, :2 * nq]], axis=1), nq, nq,
-                deterministic=False, rngs={"dropout": rng},
-                method=TimDetection.encoder_forward)
-            if loss_kind == "focal":
-                lab = jnp.clip(batch["action"][:, :1], 0, None)
-                lab = jnp.broadcast_to(lab, (args.batch, nq)).reshape(-1)
-                return L.sigmoid_focal_loss_smoothed(
-                    cls_logits[2].reshape(-1, cls_logits[2].shape[-1]),
-                    lab, cfg.label_smoothing, alpha=tcfg.focal_alpha,
-                    gamma=tcfg.focal_gamma,
-                    weights=jnp.ones((args.batch * nq,), jnp.float32))
-            if loss_kind == "diou":
-                return L.ctr_diou_loss_1d(
-                    reg_preds[0].reshape(-1, 2),
-                    jnp.zeros((args.batch * nq, 2)),
-                    reduction="none").sum()
-            return sum(jnp.sum(x.astype(jnp.float32) ** 2)
-                       for x in cls_logits if x is not None)
-        return jax.jit(jax.grad(loss), compiler_options=OPTS)
-
-    for kind, tag in (("focal", "grad: encoder + focal only"),
-                      ("diou", "grad: encoder + diou only"),
-                      ("bare", "grad: encoder + sum-sq logits")):
-        try_compile(tag, grad_of(kind), state.params, batch_d, step_rng)
-
-    # 6. full loss grads WITHOUT the optimizer update
+    # full loss grads WITHOUT the optimizer update
     def grads_only(params, batch, rng):
         step = det_train.make_train_step(model, cfg, tcfg)
         # reuse the internal loss by running value_and_grad via the step's
