@@ -60,8 +60,9 @@ def test_extract_cli_visual_videomae(tmp_path, monkeypatch):
     # batching, saving) is what's under test, not ViT-L throughput
     monkeypatch.setattr(
         vit, "videomae_vit_large",
-        lambda dtype="float32", use_flash=False: vit.VideoMAEViT(
-            embed_dim=1024, depth=1, num_heads=4))
+        lambda dtype="float32", use_flash=False, quantized=False:
+        vit.VideoMAEViT(embed_dim=1024, depth=1, num_heads=4,
+                        quantized=quantized))
     cli.main([
         "--backbone", "videomae",
         "--frames_dir", str(tmp_path / "frames"),
@@ -72,6 +73,22 @@ def test_extract_cli_visual_videomae(tmp_path, monkeypatch):
     ])
     bank = np.load(tmp_path / "feats" / "val" / "v1.npy")
     assert bank.shape[-1] == 1024
+
+    # dynamic-int8 path (--quantize_backbone on): same pipeline, features
+    # close to the fp path (random init; the bound pins wiring, not quality)
+    cli.main([
+        "--backbone", "videomae",
+        "--frames_dir", str(tmp_path / "frames"),
+        "--feature_times", str(tmp_path / "ctx.pkl"),
+        "--out_dir", str(tmp_path / "feats_q"),
+        "--split", "val", "--num_aug", "1", "--batch_size", "1",
+        "--num_frames", "16", "--fps", "25",
+        "--quantize_backbone", "on",
+    ])
+    bank_q = np.load(tmp_path / "feats_q" / "val" / "v1.npy")
+    assert bank_q.shape == bank.shape
+    denom = np.abs(bank).max()
+    assert np.abs(bank_q - bank).max() / denom < 0.05
 
 
 def test_two_stream_fusion():

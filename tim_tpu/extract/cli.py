@@ -58,6 +58,14 @@ def build_parser():
                    help="Pallas TPU flash/window attention in the ViT and "
                         "Swin backbones (measured 2.6x ViT-L: 38.6 -> 14.7 "
                         "ms/clip); auto = on when the backend is TPU")
+    p.add_argument("--quantize_backbone", default="off",
+                   choices=["auto", "on", "off"],
+                   help="int8 matmuls with dynamic per-row activation "
+                        "scales. Measured 0.90x bf16 on VideoMAE ViT-L "
+                        "(13.3 vs 14.7 ms/clip b8+flash) but a 16% LOSS "
+                        "on Swin-B; auto = on only for --backbone "
+                        "videomae on a TPU backend. ~1-2% feature-level "
+                        "max-rel delta vs bf16")
     return p
 
 
@@ -78,25 +86,52 @@ def _make_visual_apply(args):
     flash = (jax.default_backend() == "tpu"
              if getattr(args, "flash_attention", "auto") == "auto"
              else args.flash_attention == "on")
+    qmode = getattr(args, "quantize_backbone", "off")
+    # dynamic-int8 wins only on the ViT (docs/PERFORMANCE.md round 4)
+    quant_on = (qmode == "on" or
+                (qmode == "auto" and args.backbone == "videomae"
+                 and jax.default_backend() == "tpu"))
     if args.backbone == "omnivore":
         from tim_tpu.models.backbones import swin3d
         model = swin3d.omnivore_swinB_epic(dtype=args.compute_dtype,
-                                           use_flash=flash)
+                                           use_flash=flash,
+                                           quantized=quant_on)
         variables = swin3d.params_from_torch(
             _load_torch_state(args.checkpoint)) if args.checkpoint else None
     else:
         from tim_tpu.models.backbones import vit
         model = vit.videomae_vit_large(dtype=args.compute_dtype,
-                                       use_flash=flash)
+                                       use_flash=flash,
+                                       quantized=quant_on)
         variables = vit.params_from_torch(
             _load_torch_state(args.checkpoint)) if args.checkpoint else None
     if variables is None:
         rng = jax.random.PRNGKey(0)
         dummy = jnp.zeros((1, args.num_frames, args.crop_size,
                            args.crop_size, 3))
-        variables = model.init(rng, dummy)
-    return jax.jit(lambda clips: model.apply(
-        variables, clips).astype(jnp.float32))
+        if quant_on:
+            # init the fp32 layout, then quantize (matches the
+            # checkpoint path below)
+            fp_model = (swin3d.omnivore_swinB_epic(
+                            dtype=args.compute_dtype, use_flash=flash)
+                        if args.backbone == "omnivore" else
+                        vit.videomae_vit_large(
+                            dtype=args.compute_dtype, use_flash=flash))
+            variables = fp_model.init(rng, dummy)
+        else:
+            variables = model.init(rng, dummy)
+    if quant_on:
+        from tim_tpu.ops.quant import quantize_backbone_params
+        variables = {"params": quantize_backbone_params(
+            variables["params"])}
+    # params ride as explicit jit arguments (device buffers), NOT closure
+    # captures — captured trees can end up inlined into the lowered
+    # program and blow the remote-compile relay's request-size limit
+    # (HTTP 413) at ViT-L scale
+    variables = jax.device_put(variables)
+    jitted = jax.jit(lambda v, clips: model.apply(
+        v, clips).astype(jnp.float32))
+    return lambda clips: jitted(variables, clips)
 
 
 def _make_audio_apply(args):

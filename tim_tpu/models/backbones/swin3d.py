@@ -341,11 +341,17 @@ class SwinTransformer3D(nn.Module):
         return x.astype(self.dtype)
 
 
-def omnivore_swinB_epic(dtype="float32",
-                        use_flash: bool = False) -> SwinTransformer3D:
+def omnivore_swinB_epic(dtype="float32", use_flash: bool = False,
+                        quantized: bool = False) -> SwinTransformer3D:
     """The EPIC-KITCHENS Omnivore trunk config
-    (``omnivore_model.py:136-162``)."""
-    return SwinTransformer3D(dtype=jnp.dtype(dtype), use_flash=use_flash)
+    (``omnivore_model.py:136-162``).
+
+    ``quantized=True`` (dynamic int8) measured a 16% LOSS on Swin-B
+    (30.4 vs 26.1 ms/clip — its per-window matmuls are too small;
+    docs/PERFORMANCE.md round 4); available for weight-memory-bound
+    deployments only."""
+    return SwinTransformer3D(dtype=jnp.dtype(dtype), use_flash=use_flash,
+                             quantized=quantized)
 
 
 # ---------------------------------------------------------------------------

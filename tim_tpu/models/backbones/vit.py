@@ -235,9 +235,15 @@ class VideoMAEViT(nn.Module):
         return x.astype(self.dtype)
 
 
-def videomae_vit_large(dtype="float32", use_flash=False) -> VideoMAEViT:
+def videomae_vit_large(dtype="float32", use_flash=False,
+                       quantized=False) -> VideoMAEViT:
+    # quantized=True runs the matmuls int8 with dynamic per-row act
+    # scales — measured 0.90x bf16 at b8+flash (13.3 vs 14.7 ms/clip,
+    # docs/PERFORMANCE.md round 4); params must come from
+    # ``ops.quant.quantize_backbone_params``.
     return VideoMAEViT(embed_dim=1024, depth=24, num_heads=16,
-                       dtype=jnp.dtype(dtype), use_flash=use_flash)
+                       dtype=jnp.dtype(dtype), use_flash=use_flash,
+                       quantized=quantized)
 
 
 def params_from_torch(state_dict, depth: int = 24) -> dict:
