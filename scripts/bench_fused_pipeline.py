@@ -50,6 +50,16 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="small backbones (CPU smoke)")
     ap.add_argument("--batch", type=int, default=8)
+    # per-backbone sweet spots measured round 4 (docs/PERFORMANCE.md):
+    # Swin-B wants b16 now that flash fits it in HBM (24.6 vs 26.1
+    # ms/clip), ViT-L wants b8 + dynamic int8 (13.3 vs 14.7)
+    ap.add_argument("--swin_batch", type=int, default=0,
+                    help="override --batch for the Swin trunk")
+    ap.add_argument("--vit_batch", type=int, default=0,
+                    help="override --batch for the ViT trunk")
+    ap.add_argument("--vit_quant", action="store_true",
+                    help="dynamic-int8 ViT matmuls "
+                         "(quantize_backbone_params)")
     args = ap.parse_args()
 
     import jax
@@ -106,18 +116,25 @@ def main():
     # compiler's upload limit (HTTP 413 measured with Swin-B).
 
     # ---- omnivore (Swin-B) ----
-    co = jnp.asarray(rnd.normal(size=(bs,) + clip_o) * 0.1, jnp.bfloat16)
+    bo = args.swin_batch or bs
+    co = jnp.asarray(rnd.normal(size=(bo,) + clip_o) * 0.1, jnp.bfloat16)
     sv = swin.init(rng, co)
     t_omni = timeit(
-        f"omnivore swin {clip_o} b{bs}",
-        lambda c, p: swin.apply(p, c), co, sv) / bs
+        f"omnivore swin {clip_o} b{bo}",
+        lambda c, p: swin.apply(p, c), co, sv) / bo
 
     # ---- videomae (ViT-L) ----
-    cv = jnp.asarray(rnd.normal(size=(bs,) + clip_v) * 0.1, jnp.bfloat16)
+    bv = args.vit_batch or bs
+    cv = jnp.asarray(rnd.normal(size=(bv,) + clip_v) * 0.1, jnp.bfloat16)
     vv = vit.init(rng, cv)
+    if args.vit_quant:
+        from tim_tpu.ops.quant import quantize_backbone_params
+        vit = vit.clone(quantized=True)
+        vv = {"params": quantize_backbone_params(vv["params"])}
     t_vit = timeit(
-        f"videomae vit {clip_v} b{bs}",
-        lambda c, p: vit.apply(p, c), cv, vv) / bs
+        f"videomae vit {clip_v} b{bv}"
+        + (" dyn-int8" if args.vit_quant else ""),
+        lambda c, p: vit.apply(p, c), cv, vv) / bv
 
     # ---- auditory slowfast ----
     sp = jnp.asarray(rnd.normal(size=(bs * 2,) + spec) * 0.1, jnp.float32)

@@ -189,3 +189,40 @@ def test_pretrained_encoder_loads_into_finetune_vit():
             np.asarray, serialization.to_state_dict(pre)[name])
         got = jax.tree_util.tree_map(np.asarray, merged[name])
         jax.tree_util.tree_map(np.testing.assert_array_equal, got, tr)
+
+def test_pretrain_flash_wiring(monkeypatch):
+    """PretrainVideoMAE(use_flash=True) routes BOTH trunks (visible-token
+    encoder and full-sequence decoder) through the flash entry point with
+    identical math (kernel stands in as exact softmax on CPU; numerics
+    are TPU-gated in test_flash_attention.py)."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    calls = []
+
+    def fake_flash(q, k, v, *, sm_scale, block_sizes):
+        calls.append(q.shape[2])
+        attn = jnp.einsum("bhqd,bhkd->bhqk",
+                          q.astype(jnp.float32) * sm_scale,
+                          k.astype(jnp.float32))
+        attn = jax.nn.softmax(attn, axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", attn,
+                          v.astype(jnp.float32)).astype(q.dtype)
+
+    monkeypatch.setattr(fa, "flash_attention", fake_flash)
+
+    model = _tiny_model()
+    rng = np.random.default_rng(3)
+    video = jnp.asarray(rng.normal(size=(2, 4, 32, 32, 3)), jnp.float32)
+    gen = M.TubeMasking(model.grid, 0.5)
+    vis, msk = M.batch_mask_indices(gen, 2, rng)
+    vis, msk = jnp.asarray(vis), jnp.asarray(msk)
+    params = model.init(jax.random.PRNGKey(0), video, vis, msk)
+    want = np.asarray(model.apply(params, video, vis, msk), np.float32)
+
+    flash_model = _tiny_model().clone(use_flash=True)
+    got = np.asarray(flash_model.apply(params, video, vis, msk),
+                     np.float32)
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=0)
+    # encoder blocks saw the visible length, decoder blocks the full grid
+    n = int(np.prod(model.grid))
+    assert vis.shape[1] in calls and n in calls

@@ -56,6 +56,14 @@ def build_parser():
                    help="MAE encoder checkpoint (msgpack) to warm-start "
                         "the finetune trunk")
     p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--flash_attention", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="Pallas flash attention in the ViT blocks. For "
+                        "training it also removes the [B, H, S, S] "
+                        "softmax-prob autodiff residuals, which is what "
+                        "lets realistic finetune batches fit HBM at all "
+                        "(see scripts/bench_finetune_flash.py); auto = "
+                        "on when the backend is TPU")
     p.add_argument("--output_dir", type=Path, default=Path("output"))
     p.add_argument("--seed", type=int, default=0)
     return p
@@ -76,11 +84,16 @@ def main(argv=None):
     reader = jpeg_frame_reader(args.data_path, args.filename_tmpl)
     anno_train = pd.read_csv(args.anno_train)
     common = dict(num_frames=args.num_frames, crop_size=args.input_size)
+    import jax
+    flash = (jax.default_backend() == "tpu"
+             if args.flash_attention == "auto"
+             else args.flash_attention == "on")
     vit_kw = dict(
         img_size=args.input_size, patch_size=args.patch_size,
         embed_dim=args.embed_dim, depth=args.depth,
         num_heads=args.num_heads, num_frames=args.num_frames,
-        tubelet_size=args.tubelet_size, dtype=jnp.dtype(args.compute_dtype))
+        tubelet_size=args.tubelet_size, use_flash=flash,
+        dtype=jnp.dtype(args.compute_dtype))
 
     args.output_dir.mkdir(parents=True, exist_ok=True)
     if args.mode == "pretrain":

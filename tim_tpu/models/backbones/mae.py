@@ -40,6 +40,12 @@ class PretrainVideoMAE(nn.Module):
     num_frames: int = 16
     tubelet_size: int = 2
     dtype: jnp.dtype = jnp.float32
+    # Pallas flash attention in both trunks. The encoder's visible
+    # sequence is short (~157 tokens at mask 0.9), but the decoder runs
+    # the FULL 1568-token sequence for 12 layers — flash removes its
+    # [B, H, S, S] score tensors from both the forward and the autodiff
+    # residuals. TPU-only (no interpret fallback).
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, video, visible_idx, masked_idx):
@@ -64,7 +70,8 @@ class PretrainVideoMAE(nn.Module):
         xv = jnp.take_along_axis(x, visible_idx[..., None], axis=1)
         for i in range(self.depth):
             xv = ViTBlock(self.embed_dim, self.num_heads, self.mlp_ratio,
-                          dtype=self.dtype, name=f"block{i}")(xv)
+                          dtype=self.dtype, use_flash=self.use_flash,
+                          name=f"block{i}")(xv)
         xv = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
                           name="encoder_norm")(xv).astype(self.dtype)
         xv = nn.Dense(self.decoder_dim, use_bias=False, dtype=self.dtype,
@@ -86,6 +93,7 @@ class PretrainVideoMAE(nn.Module):
         for i in range(self.decoder_depth):
             d = ViTBlock(self.decoder_dim, self.decoder_heads,
                          self.mlp_ratio, dtype=self.dtype,
+                         use_flash=self.use_flash,
                          name=f"decoder_block{i}")(d)
         d = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
                          name="decoder_norm")(d).astype(self.dtype)
