@@ -86,17 +86,10 @@ def test_vit_flash_wiring_sharded_clips(mesh, monkeypatch):
     test_flash_attention.py)."""
     from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
+    from tests.flash_fake import fake_flash_kernel
     from tim_tpu.models.backbones import vit as vit_mod
 
-    def fake_flash(q, k, v, *, sm_scale, block_sizes):
-        attn = jnp.einsum("bhqd,bhkd->bhqk",
-                          q.astype(jnp.float32) * sm_scale,
-                          k.astype(jnp.float32))
-        attn = jax.nn.softmax(attn, axis=-1)
-        return jnp.einsum("bhqk,bhkd->bhqd", attn,
-                          v.astype(jnp.float32)).astype(q.dtype)
-
-    monkeypatch.setattr(fa, "flash_attention", fake_flash)
+    monkeypatch.setattr(fa, "flash_attention", fake_flash_kernel())
 
     kw = dict(img_size=16, patch_size=8, embed_dim=16, depth=1,
               num_heads=2, num_frames=4, tubelet_size=2)

@@ -66,8 +66,11 @@ def test_vit_flash_forward_matches_xla():
     np.testing.assert_allclose(got, ref, atol=3e-2, rtol=0)
 
 
+from tests.flash_fake import fake_flash_kernel
+
+
 def test_vit_flash_wiring_on_cpu(monkeypatch):
-    """Execute the ``use_flash=True`` wiring (block-size selection,
+    """Execute the ``use_flash=True`` wiring (pad-to-128 block policy,
     [B,N,H,dh]<->[B,H,N,dh] transposes, qkv unpacking) in the default CPU
     suite by standing in an exact-softmax fake for the TPU-only kernel.
     Numerics of the real kernel stay TPU-gated above; this pins the
@@ -78,19 +81,7 @@ def test_vit_flash_wiring_on_cpu(monkeypatch):
     from tim_tpu.models.backbones import vit as vit_mod
 
     seen = {}
-
-    def fake_flash(q, k, v, *, sm_scale, block_sizes):
-        seen["block_sizes"] = block_sizes
-        seen["sm_scale"] = sm_scale
-        seen["shape"] = tuple(q.shape)
-        attn = jnp.einsum("bhqd,bhkd->bhqk",
-                          q.astype(jnp.float32) * sm_scale,
-                          k.astype(jnp.float32))
-        attn = jax.nn.softmax(attn, axis=-1)
-        return jnp.einsum("bhqk,bhkd->bhqd", attn,
-                          v.astype(jnp.float32)).astype(q.dtype)
-
-    monkeypatch.setattr(fa, "flash_attention", fake_flash)
+    monkeypatch.setattr(fa, "flash_attention", fake_flash_kernel(seen))
 
     rng = np.random.default_rng(2)
     clip = jnp.asarray(rng.normal(size=(2, 4, 32, 32, 3)) * 0.1,
@@ -104,11 +95,88 @@ def test_vit_flash_wiring_on_cpu(monkeypatch):
         vit_mod.VideoMAEViT(use_flash=True, **kw).apply(params, clip),
         np.float32)
 
-    s = 2 * 4 * 4  # tubelets * 4x4 patches
-    assert seen["shape"] == (2, 2, s, 16)  # [B, H, S, dh] layout reached
-    assert seen["block_sizes"].block_q == s  # full-sequence block policy
+    s = 2 * 4 * 4  # tubelets * 4x4 patches, padded to one 128 lane
+    assert seen["shape"] == (2, 2, 128, 16)  # [B, H, Spad, dh] reached
+    assert seen["block_sizes"].block_q == 128  # full-block policy
+    assert seen["block_sizes"].block_q_dkv == 128  # bwd tiles legal
+    assert np.asarray(seen["segment_ids"].q).sum() == 2 * s
     assert seen["sm_scale"] == pytest.approx(16 ** -0.5)
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=0)
+
+
+def test_flash_mha_pad_matches_exact_softmax_with_grads(monkeypatch):
+    """The pad-to-128 wrapper (tim_tpu.ops.flash.flash_mha) must be
+    value- AND grad-exact vs plain softmax attention at an S that is not
+    a multiple of 128 — the kernel's backward requires 128-multiple
+    blocks, which is exactly why the wrapper pads (finetune/MAE train at
+    ViT-L's S=1568 crashed without it). Runs on CPU against the
+    segment-id-honoring fake; real-kernel numerics are TPU-gated."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    from tim_tpu.ops.flash import flash_mha
+
+    monkeypatch.setattr(fa, "flash_attention", fake_flash_kernel({}))
+
+    b, h, s, dh = 2, 2, 40, 16
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(b, h, s, dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, s, dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, s, dh)), jnp.float32)
+    scale = dh ** -0.5
+
+    def ref_loss(q, k, v):
+        attn = jax.nn.softmax(
+            jnp.einsum("bhqd,bhkd->bhqk", q * scale, k), axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        return (out * jnp.cos(out)).sum(), out
+
+    def flash_loss(q, k, v):
+        out = flash_mha(q, k, v, sm_scale=scale)
+        return (out * jnp.cos(out)).sum(), out
+
+    (l0, o0), g0 = jax.value_and_grad(ref_loss, (0, 1, 2),
+                                      has_aux=True)(q, k, v)
+    (l1, o1), g1 = jax.value_and_grad(flash_loss, (0, 1, 2),
+                                      has_aux=True)(q, k, v)
+    assert o1.shape == (b, h, s, dh)  # pad rows sliced off
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o0),
+                               atol=1e-5, rtol=0)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for a, b_ in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   atol=1e-5, rtol=0)
+        assert np.isfinite(np.asarray(b_)).all()
+
+
+@requires_tpu
+def test_flash_mha_grads_match_xla_on_tpu():
+    """Real-kernel backward at a non-128-multiple S (pads 160 -> 256)."""
+    from tim_tpu.ops.flash import flash_mha
+
+    b, h, s, dh = 2, 2, 160, 64
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.normal(size=(b, h, s, dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, h, s, dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, h, s, dh)), jnp.float32)
+    scale = dh ** -0.5
+
+    def ref_loss(q, k, v):
+        attn = jax.nn.softmax(
+            jnp.einsum("bhqd,bhkd->bhqk", q * scale, k), axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", attn, v).sum()
+
+    def flash_loss(q, k, v):
+        return flash_mha(q, k, v, sm_scale=scale).sum()
+
+    g0 = jax.jit(jax.grad(ref_loss, (0, 1, 2)))(q, k, v)
+    g1 = jax.jit(jax.grad(flash_loss, (0, 1, 2)))(q, k, v)
+    for a, b_ in zip(g0, g1):
+        # measured v5e: max |d| 2.8e-3 at |g|~0.55 (0.5% rel), and
+        # ~1e-3 abs on near-zero grads — the kernel's bf16 MXU products
+        # vs the XLA fp32 reference
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   atol=3e-3, rtol=1e-2)
+        assert np.isfinite(np.asarray(b_)).all()
 
 
 def test_flash_flag_off_is_pure_xla_on_cpu():

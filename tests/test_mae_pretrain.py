@@ -197,18 +197,11 @@ def test_pretrain_flash_wiring(monkeypatch):
     are TPU-gated in test_flash_attention.py)."""
     from jax.experimental.pallas.ops.tpu import flash_attention as fa
 
+    from tests.flash_fake import fake_flash_kernel
+
     calls = []
-
-    def fake_flash(q, k, v, *, sm_scale, block_sizes):
-        calls.append(q.shape[2])
-        attn = jnp.einsum("bhqd,bhkd->bhqk",
-                          q.astype(jnp.float32) * sm_scale,
-                          k.astype(jnp.float32))
-        attn = jax.nn.softmax(attn, axis=-1)
-        return jnp.einsum("bhqk,bhkd->bhqd", attn,
-                          v.astype(jnp.float32)).astype(q.dtype)
-
-    monkeypatch.setattr(fa, "flash_attention", fake_flash)
+    monkeypatch.setattr(fa, "flash_attention",
+                        fake_flash_kernel(calls=calls))
 
     model = _tiny_model()
     rng = np.random.default_rng(3)

@@ -31,17 +31,13 @@ def sinusoid_position_table(n_position: int, d_hid: int) -> np.ndarray:
 
 
 def _flash_block_sizes(s: int):
-    """Full-sequence blocks for the Pallas TPU flash kernel. ViT-L's
-    S=1568 is not a multiple of 128, which rules out the kernel's default
-    tiling — but a single S-sized block passes the divisibility checks
-    and measured FASTEST anyway (4.23 ms vs 4.34 for bq=224 at b8;
-    score block is S^2 fp32 = 9.8 MB of VMEM, fine for S <= ~2048)."""
-    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+    """Forward-only full-sequence blocks for the Pallas TPU flash
+    kernel (kept for the micro-benches; the model path goes through
+    ``tim_tpu.ops.flash.flash_mha``, whose pad-to-128 contract also
+    makes the kernel's backward legal at ViT-L's S=1568)."""
+    from tim_tpu.ops.flash import _full_block_sizes
 
-    return fa.BlockSizes(
-        block_q=s, block_k_major=s, block_k=s, block_b=1,
-        block_q_major_dkv=s, block_k_major_dkv=s, block_k_dkv=s,
-        block_q_dkv=s, block_k_major_dq=s, block_k_dq=s, block_q_dq=s)
+    return _full_block_sizes(s)
 
 
 class VideoMAEAttention(nn.Module):
@@ -103,13 +99,11 @@ class VideoMAEAttention(nn.Module):
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B,N,H,dh]
 
         if self.use_flash:
-            from jax.experimental.pallas.ops.tpu import (
-                flash_attention as fa)
+            from tim_tpu.ops.flash import flash_mha
 
-            out = fa.flash_attention(
+            out = flash_mha(
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3), sm_scale=float(scale),
-                block_sizes=_flash_block_sizes(n))
+                v.transpose(0, 2, 1, 3), sm_scale=float(scale))
             out = out.transpose(0, 2, 1, 3)
         else:
             attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
