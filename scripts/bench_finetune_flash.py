@@ -29,6 +29,11 @@ def main():
     ap.add_argument("--batches", type=int, nargs="+", default=[2, 8, 16])
     ap.add_argument("--parity", action="store_true",
                     help="grad-parity check (depth-2 trunk) only")
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint each ViT block (memory knob; "
+                         "see VideoMAEViT.remat)")
+    ap.add_argument("--flash_only", action="store_true",
+                    help="skip the XLA-attention half of the sweep")
     args = ap.parse_args()
 
     import jax
@@ -45,7 +50,8 @@ def main():
 
     def build(flash, batch, depth=24):
         model = TwoHeadViT(trunk=VideoMAEViT(
-            dtype=jnp.bfloat16, use_flash=flash, depth=depth))
+            dtype=jnp.bfloat16, use_flash=flash, depth=depth,
+            remat=args.remat))
         video = jnp.asarray(
             rnd.normal(size=(batch, 16, 224, 224, 3)) * 0.1, jnp.bfloat16)
         params = jax.jit(model.init)(key, video[:1])["params"]
@@ -88,7 +94,7 @@ def main():
               f"(max update magnitude {den:.3e})", flush=True)
         return
 
-    for flash in (True, False):
+    for flash in ((True,) if args.flash_only else (True, False)):
         for batch in args.batches:
             try:
                 model, state, batch_d = build(flash, batch)
@@ -110,7 +116,8 @@ def main():
                 float(run(state, batch_d))
                 dt = (time.perf_counter() - t0) / args.iters
                 print(f"[finetune] vit-l b{batch}"
-                      f"{' flash' if flash else ' xla'}: "
+                      f"{' flash' if flash else ' xla'}"
+                      f"{' remat' if args.remat else ''}: "
                       f"{dt * 1e3:.1f} ms/step = "
                       f"{batch / dt:.2f} clips/s "
                       f"({dt / batch * 1e3:.1f} ms/clip)", flush=True)

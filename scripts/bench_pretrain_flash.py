@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--batches", type=int, nargs="+", default=[2, 8, 16])
     ap.add_argument("--mask_ratio", type=float, default=0.9)
+    ap.add_argument("--remat", action="store_true",
+                    help="jax.checkpoint each ViT block (memory knob)")
+    ap.add_argument("--flash_only", action="store_true",
+                    help="skip the XLA-attention half of the sweep")
     args = ap.parse_args()
 
     import jax
@@ -44,7 +48,8 @@ def main():
     key = jax.random.PRNGKey(0)
 
     def build(flash, batch):
-        model = PretrainVideoMAE(dtype=jnp.bfloat16, use_flash=flash)
+        model = PretrainVideoMAE(dtype=jnp.bfloat16, use_flash=flash,
+                                 remat=args.remat)
         masking = TubeMasking(model.grid, args.mask_ratio)
         video = jnp.asarray(
             rnd.normal(size=(batch, 16, 224, 224, 3)) * 0.1, jnp.float32)
@@ -58,7 +63,7 @@ def main():
               flush=True)
         return model, tx, state, (video, vis, msk)
 
-    for flash in (True, False):
+    for flash in ((True,) if args.flash_only else (True, False)):
         for batch in args.batches:
             try:
                 model, tx, state, batch_d = build(flash, batch)
@@ -79,7 +84,8 @@ def main():
                 float(run(state, *batch_d))
                 dt = (time.perf_counter() - t0) / args.iters
                 print(f"[pretrain] vit-l b{batch}"
-                      f"{' flash' if flash else ' xla'}: "
+                      f"{' flash' if flash else ' xla'}"
+                      f"{' remat' if args.remat else ''}: "
                       f"{dt * 1e3:.1f} ms/step = "
                       f"{batch / dt:.2f} clips/s "
                       f"({dt / batch * 1e3:.1f} ms/clip)", flush=True)

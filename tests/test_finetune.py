@@ -68,6 +68,28 @@ def test_finetune_step_overfits_tiny_vit():
     assert losses[-1] < losses[0] * 0.8, losses[::5]
 
 
+def test_remat_grads_match_plain():
+    """``VideoMAEViT(remat=True)`` is a pure memory knob: same params
+    (shared init), same loss, same grads as the plain trunk."""
+    kw = dict(img_size=32, patch_size=16, embed_dim=32, depth=2,
+              num_heads=2, num_frames=4, tubelet_size=2)
+    rng = jax.random.PRNGKey(0)
+    video = jax.random.normal(rng, (2, 4, 32, 32, 3))
+    plain, remat = VideoMAEViT(**kw), VideoMAEViT(**kw, remat=True)
+    params = plain.init(rng, video)
+
+    def val_grads(model):
+        loss = lambda p: jnp.sum(model.apply(p, video) ** 2)
+        return jax.jit(jax.value_and_grad(loss))(params)
+
+    (l0, g0), (l1, g1) = val_grads(plain), val_grads(remat)
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_llrd_scales_decrease_with_depth():
     params = {
         "patch_embed": {"kernel": jnp.zeros((2, 2))},

@@ -64,6 +64,14 @@ def build_parser():
                         "lets realistic finetune batches fit HBM at all "
                         "(see scripts/bench_finetune_flash.py); auto = "
                         "on when the backend is TPU")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint each ViT block: recompute block "
+                        "activations in the backward instead of keeping "
+                        "them. Memory knob for batches that otherwise "
+                        "OOM (measured: fits finetune b16/b32 that fail "
+                        "even with flash; costs throughput where the "
+                        "batch already fits — scripts/"
+                        "bench_finetune_flash.py --remat)")
     p.add_argument("--output_dir", type=Path, default=Path("output"))
     p.add_argument("--seed", type=int, default=0)
     return p
@@ -93,7 +101,7 @@ def main(argv=None):
         embed_dim=args.embed_dim, depth=args.depth,
         num_heads=args.num_heads, num_frames=args.num_frames,
         tubelet_size=args.tubelet_size, use_flash=flash,
-        dtype=jnp.dtype(args.compute_dtype))
+        remat=args.remat, dtype=jnp.dtype(args.compute_dtype))
 
     args.output_dir.mkdir(parents=True, exist_ok=True)
     if args.mode == "pretrain":

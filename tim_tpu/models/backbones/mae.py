@@ -46,6 +46,9 @@ class PretrainVideoMAE(nn.Module):
     # [B, H, S, S] score tensors from both the forward and the autodiff
     # residuals. TPU-only (no interpret fallback).
     use_flash: bool = False
+    # Per-block jax.checkpoint (see ``VideoMAEViT.remat``): drops block
+    # activations from autodiff residuals for larger pretrain batches.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, video, visible_idx, masked_idx):
@@ -67,11 +70,12 @@ class PretrainVideoMAE(nn.Module):
                           self.dtype)
         x = x + pos[None]
 
+        block_cls = nn.remat(ViTBlock) if self.remat else ViTBlock
         xv = jnp.take_along_axis(x, visible_idx[..., None], axis=1)
         for i in range(self.depth):
-            xv = ViTBlock(self.embed_dim, self.num_heads, self.mlp_ratio,
-                          dtype=self.dtype, use_flash=self.use_flash,
-                          name=f"block{i}")(xv)
+            xv = block_cls(self.embed_dim, self.num_heads, self.mlp_ratio,
+                           dtype=self.dtype, use_flash=self.use_flash,
+                           name=f"block{i}")(xv)
         xv = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
                           name="encoder_norm")(xv).astype(self.dtype)
         xv = nn.Dense(self.decoder_dim, use_bias=False, dtype=self.dtype,
@@ -91,10 +95,10 @@ class PretrainVideoMAE(nn.Module):
         d = jnp.concatenate(
             [xv + pos_vis, mask_token + pos_msk], axis=1)
         for i in range(self.decoder_depth):
-            d = ViTBlock(self.decoder_dim, self.decoder_heads,
-                         self.mlp_ratio, dtype=self.dtype,
-                         use_flash=self.use_flash,
-                         name=f"decoder_block{i}")(d)
+            d = block_cls(self.decoder_dim, self.decoder_heads,
+                          self.mlp_ratio, dtype=self.dtype,
+                          use_flash=self.use_flash,
+                          name=f"decoder_block{i}")(d)
         d = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
                          name="decoder_norm")(d).astype(self.dtype)
         out = nn.Dense(self.tubelet_size * self.patch_size ** 2 * 3,

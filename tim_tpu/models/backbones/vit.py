@@ -198,6 +198,12 @@ class VideoMAEViT(nn.Module):
     # constants (the lever that won 1.37x on the TIM serving matmuls).
     quantized: bool = False
     act_scales: tuple = ()
+    # Rematerialize each block in the backward pass (jax.checkpoint).
+    # Training-memory knob: trades ~1 extra forward for dropping all
+    # block activations from the autodiff residuals, unlocking larger
+    # finetune batches (the reference leans on DeepSpeed ZeRO for the
+    # same problem, ``run_class_finetuning.py``). No effect on inference.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, video):
@@ -215,14 +221,15 @@ class VideoMAEViT(nn.Module):
         pos = sinusoid_position_table(x.shape[1], self.embed_dim)
         x = x + jnp.asarray(pos, self.dtype)[None]
 
+        block_cls = nn.remat(ViTBlock) if self.remat else ViTBlock
         for i in range(self.depth):
-            x = ViTBlock(self.embed_dim, self.num_heads, self.mlp_ratio,
-                         self.init_values, self.dtype,
-                         use_flash=self.use_flash,
-                         quantized=self.quantized,
-                         act_scales=filter_scales(
-                             self.act_scales, f"block{i}"),
-                         name=f"block{i}")(x)
+            x = block_cls(self.embed_dim, self.num_heads, self.mlp_ratio,
+                          self.init_values, self.dtype,
+                          use_flash=self.use_flash,
+                          quantized=self.quantized,
+                          act_scales=filter_scales(
+                              self.act_scales, f"block{i}"),
+                          name=f"block{i}")(x)
 
         x = jnp.mean(x.astype(jnp.float32), axis=1)
         x = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="fc_norm")(x)
