@@ -27,7 +27,7 @@ def chained_time(fn, x, params, iters=10, tag=""):
     @jax.jit
     def run(x, p):
         def body(i, acc):
-            out = fn(x + acc * 1e-12, p)
+            out = fn(x + (acc * 1e-12).astype(x.dtype), p)
             return jnp.max(jnp.abs(out)).astype(jnp.float32)
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
@@ -47,7 +47,10 @@ def sweep(name, make, clip_shape, batches, failures):
     key = jax.random.PRNGKey(0)
     model = make()
     params = model.init(key, jnp.zeros((2,) + clip_shape, jnp.bfloat16))
-    skippable = (RuntimeError, jax.errors.JaxRuntimeError)
+    # Relay/tunnel compile failures can surface as arbitrary exception
+    # types (HTTP 500 class), not just JaxRuntimeError — degrade any
+    # failure to a per-config skip like the sibling bench scripts.
+    skippable = Exception
     for batch in batches:
         clip = jnp.asarray(
             rng.normal(size=(batch,) + clip_shape) * 0.1, jnp.bfloat16)
