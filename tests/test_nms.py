@@ -134,6 +134,50 @@ def test_batched_nms_multiclass_keeps_classes_separate():
     assert set(out_c.tolist()) == {0, 1}
 
 
+def test_softnms_multiclass_fused_matches_per_class_loop():
+    """One-call native multi-class Soft-NMS == looping softnms_1d over
+    np.unique(cls) (the exactness contract batched_nms relies on)."""
+    rng = np.random.default_rng(7)
+    n = 400
+    segs = _random_segs(n, rng)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    cls = rng.integers(0, 23, n)
+
+    fused = N.softnms_1d_multiclass(segs, scores, cls, 0.3, sigma=0.25,
+                                    min_score=0.01, method=2)
+    assert fused is not None
+    f_segs, f_scores, f_cls = fused
+
+    parts = []
+    for c in np.unique(cls):
+        sel = cls == c
+        s, sc, inds = N.softnms_1d(segs[sel], scores[sel], 0.3, sigma=0.25,
+                                   min_score=0.01, method=2)
+        parts.append((s, sc, cls[sel][inds]))
+    np.testing.assert_array_equal(f_segs, np.concatenate(
+        [p[0] for p in parts]))
+    np.testing.assert_array_equal(f_scores, np.concatenate(
+        [p[1] for p in parts]))
+    np.testing.assert_array_equal(f_cls, np.concatenate(
+        [p[2] for p in parts]))
+
+
+def test_batched_nms_fused_vs_fallback_identical(monkeypatch):
+    rng = np.random.default_rng(11)
+    n = 300
+    segs = _random_segs(n, rng)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    cls = rng.integers(0, 17, n)
+    kw = dict(iou_threshold=0.1, min_score=0.001, sigma=0.25, method=2,
+              nms_kind="soft", multi_class=True)
+    got = N.batched_nms(segs, scores, cls, **kw)
+    monkeypatch.setattr(N, "softnms_1d_multiclass",
+                        lambda *a, **k: None)
+    want = N.batched_nms(segs, scores, cls, **kw)
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+
 def test_nms_1d_jax_matches_host():
     import jax.numpy as jnp
     rng = np.random.default_rng(3)

@@ -25,11 +25,13 @@ def segment_iou(target: np.ndarray, candidates: np.ndarray) -> np.ndarray:
 
 
 def interpolated_prec_rec(prec: np.ndarray, rec: np.ndarray) -> float:
-    """VOC 2011 interpolated AP."""
+    """VOC 2011 interpolated AP. The right-to-left running max is a
+    reversed ``np.maximum.accumulate`` (identical to the reference's
+    Python loop, ``evaluate_detection_json_ek100.py:279-288``, without the
+    per-prediction interpreter cost)."""
     mprec = np.concatenate([[0.0], prec, [0.0]])
     mrec = np.concatenate([[0.0], rec, [1.0]])
-    for i in range(len(mprec) - 2, -1, -1):
-        mprec[i] = max(mprec[i], mprec[i + 1])
+    mprec = np.maximum.accumulate(mprec[::-1])[::-1]
     idx = np.flatnonzero(mrec[1:] != mrec[:-1]) + 1
     return float(np.sum((mrec[idx] - mrec[idx - 1]) * mprec[idx]))
 
@@ -52,38 +54,60 @@ def compute_average_precision_detection(
     pred_videos = pred_videos[order]
     pred_segments = pred_segments[order]
 
-    # group GT rows by video
+    # group GT rows by video (original row order within a video, so the
+    # greedy tie-breaks match the reference's per-prediction walk)
     gt_by_video: Dict = {}
     for i, v in enumerate(gt_videos):
         gt_by_video.setdefault(v, []).append(i)
-    gt_by_video = {v: np.asarray(ix) for v, ix in gt_by_video.items()}
 
     n_pred = len(pred_segments)
     tp = np.zeros((n_thr, n_pred))
-    fp = np.zeros((n_thr, n_pred))
-    lock = -np.ones((n_thr, len(gt_segments)), np.int64)
 
-    for idx in range(n_pred):
-        gt_idx = gt_by_video.get(pred_videos[idx])
-        if gt_idx is None:
-            fp[:, idx] = 1
+    # Greedy locking only couples predictions within ONE video (a GT can
+    # only match its own video's predictions), and tp positions are keyed
+    # by global score rank — so the match runs per video with IoUs
+    # computed as one [P, G] batch instead of a segment_iou call per
+    # prediction (the reference's loop,
+    # ``evaluate_detection_json_ek100.py:189-231``). Predictions whose
+    # best IoU is below a threshold are false positives there without
+    # entering the walk — on detector output that skips the vast
+    # majority of (prediction, threshold) pairs.
+    pred_by_video: Dict = {}
+    for i, v in enumerate(pred_videos):
+        pred_by_video.setdefault(v, []).append(i)
+
+    for vid, pos in pred_by_video.items():
+        gt_rows = gt_by_video.get(vid)
+        if gt_rows is None:
             continue
-        tious = segment_iou(pred_segments[idx], gt_segments[gt_idx])
-        by_iou = np.argsort(-tious, kind="stable")
+        pos = np.asarray(pos)
+        gts = gt_segments[np.asarray(gt_rows)]
+        segs = pred_segments[pos]
+        lo = np.maximum(segs[:, None, 0], gts[None, :, 0])
+        hi = np.minimum(segs[:, None, 1], gts[None, :, 1])
+        inter = np.clip(hi - lo, 0.0, None)
+        union = ((gts[:, 1] - gts[:, 0])[None, :]
+                 + (segs[:, 1] - segs[:, 0])[:, None] - inter)
+        iou = inter.astype(float) / union
+        by_iou = np.argsort(-iou, axis=1, kind="stable")
+        iou_sorted = np.take_along_axis(iou, by_iou, axis=1)
+        n_gt = iou.shape[1]
         for t, thr in enumerate(tiou_thresholds):
-            matched = False
-            for j in by_iou:
-                if tious[j] < thr:
+            locked = np.zeros(n_gt, bool)
+            for r in np.flatnonzero(iou_sorted[:, 0] >= thr):
+                row_iou = iou_sorted[r]
+                row_gt = by_iou[r]
+                for k in range(n_gt):
+                    if row_iou[k] < thr:
+                        break
+                    g = row_gt[k]
+                    if locked[g]:
+                        continue
+                    locked[g] = True
+                    tp[t, pos[r]] = 1
                     break
-                if lock[t, gt_idx[j]] >= 0:
-                    continue
-                tp[t, idx] = 1
-                lock[t, gt_idx[j]] = idx
-                matched = True
-                break
-            if not matched:
-                fp[t, idx] = 1
 
+    fp = 1.0 - tp
     tp_cum = np.cumsum(tp, axis=1)
     fp_cum = np.cumsum(fp, axis=1)
     recall = tp_cum / npos

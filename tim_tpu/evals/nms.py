@@ -60,6 +60,15 @@ def _load_native() -> Optional[ctypes.CDLL]:
                 ctypes.c_float, ctypes.c_int,
                 ctypes.POINTER(ctypes.c_float),
                 ctypes.POINTER(ctypes.c_int64)]
+            lib.softnms_1d_multiclass.restype = ctypes.c_int64
+            lib.softnms_1d_multiclass.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.c_float, ctypes.c_float,
+                ctypes.c_float, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64)]
             _lib = lib
         except Exception:
             _lib_failed = True
@@ -114,6 +123,39 @@ def softnms_1d(
         return dets[:k, :2].copy(), dets[:k, 2].copy(), inds[:k].copy()
     return _softnms_1d_numpy(segs, scores, iou_threshold, sigma, min_score,
                              method)
+
+
+def softnms_1d_multiclass(
+    segs: np.ndarray, scores: np.ndarray, cls_idxs: np.ndarray,
+    iou_threshold: float, sigma: float = 0.5, min_score: float = 0.001,
+    method: int = 2,
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """All-classes Soft-NMS in one native call: per-class softnms_1d over
+    ascending class ids, results concatenated (unsorted across classes).
+    Returns (segments [k,2], decayed scores [k], class ids [k]), or None
+    when the native library is unavailable (callers fall back to the
+    per-class Python loop). Exactly equal to looping ``softnms_1d`` over
+    ``np.unique(cls_idxs)`` — the 32-process fan-out of
+    ``format_predictions_epic.py:146`` collapses to one in-process call."""
+    n = len(segs)
+    if n == 0:
+        return (np.zeros((0, 2), np.float32), np.zeros(0, np.float32),
+                np.zeros(0, np.int64))
+    lib = _load_native()
+    if lib is None:
+        return None
+    segs = np.ascontiguousarray(segs, np.float32)
+    scores = np.ascontiguousarray(scores, np.float32)
+    cls64 = np.ascontiguousarray(cls_idxs, np.int64)
+    dets = np.empty((n, 3), np.float32)
+    cls_out = np.empty(n, np.int64)
+    inds = np.empty(n, np.int64)
+    k = lib.softnms_1d_multiclass(
+        _fptr(segs), _fptr(scores), _iptr(cls64), n,
+        ctypes.c_float(iou_threshold), ctypes.c_float(sigma),
+        ctypes.c_float(min_score), method,
+        _fptr(dets), _iptr(cls_out), _iptr(inds))
+    return dets[:k, :2].copy(), dets[:k, 2].copy(), cls_out[:k].copy()
 
 
 # ---------------------------------------------------------------------------
@@ -247,13 +289,20 @@ def batched_nms(
         return s2[keep], sc2[keep], ci2[keep]
 
     if multi_class:
-        parts = []
-        for cls in np.unique(cls_idxs):
-            sel = cls_idxs == cls
-            parts.append(run_one(segs[sel], scores[sel], cls_idxs[sel]))
-        new_segs = np.concatenate([p[0] for p in parts])
-        new_scores = np.concatenate([p[1] for p in parts])
-        new_cls = np.concatenate([p[2] for p in parts])
+        fused = (softnms_1d_multiclass(
+            segs, scores, cls_idxs, iou_threshold, sigma, min_score, method)
+            if nms_kind == "soft" else None)
+        if fused is not None:
+            new_segs, new_scores, new_cls = fused
+            new_cls = new_cls.astype(cls_idxs.dtype, copy=False)
+        else:
+            parts = []
+            for cls in np.unique(cls_idxs):
+                sel = cls_idxs == cls
+                parts.append(run_one(segs[sel], scores[sel], cls_idxs[sel]))
+            new_segs = np.concatenate([p[0] for p in parts])
+            new_scores = np.concatenate([p[1] for p in parts])
+            new_cls = np.concatenate([p[2] for p in parts])
     else:
         new_segs, new_scores, new_cls = run_one(segs, scores, cls_idxs)
         if voting_thresh > 0 and len(new_segs):
