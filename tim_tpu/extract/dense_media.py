@@ -1,0 +1,181 @@
+"""Overlap-aware dense raw-media extraction (frame bank + pair-embed dedup).
+
+Dense feature timesteps are 0.2 s apart while their clips span 1.1-2.1 s
+(``/root/reference/feature_extractors/make_framepickle.py:37-38``:
+INTERVAL=1.1, HOP_SIZE=0.2), so consecutive clips share ~80-90% of their
+frames. The naive raw-media path
+(``serve.DetectionServer.detect_video_media``) uploads every clip in
+full — each pixel crosses host->device ~5x — and re-embeds every shared
+frame pair in every clip that contains it.
+
+This module removes both redundancies EXACTLY (same pixels, same conv
+math — no approximation):
+
+1. **Frame bank**: the host uploads each unique video frame ONCE
+   ([Nf, H, W, 3] in HBM); clips are assembled on device by gather
+   (HBM-internal, ~free next to a backbone forward). ~5x less host->
+   device traffic at the 0.2 s hop — the dominant cost on a relay link.
+2. **Pair-embed dedup**: both visual backbones start with a VALID
+   Conv3D whose temporal kernel == stride == 2 (Swin patch_size (2,4,4),
+   ViT tubelet 2), so the embedding of a frame PAIR is independent of
+   the rest of the clip. Each unique (frame_a, frame_b) pair is embedded
+   once into a pair-embed bank; clips gather their pair rows and enter
+   the trunk via the backbones' ``embedded=True`` path. Removes the
+   duplicated embed FLOPs (a small fraction of the trunk — measured in
+   ``scripts/bench_media_ingest.py``) and shrinks the gathered tensor
+   (Swin: 56*56*128 floats/pair vs 2*224*224*3 pixels).
+
+The trunk compute itself CANNOT be deduplicated exactly: one layer in,
+every token attends across its clip (Swin's stage-0 window already
+spans the full temporal extent), and clips at different offsets contain
+different token sets. The exact-reuse ceiling is therefore the embed +
+transfer share; see docs/PERFORMANCE.md for the measured closure.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class ClipPlan:
+    """Dedup plan for a dense per-timestep clip table.
+
+    unique_frames: [Nf] sorted original frame numbers (upload order).
+    clip_idx:      [T, F] indices into ``unique_frames`` per clip.
+    pairs:         [P, pt] unique temporal-kernel groups, as indices
+                   into ``unique_frames``.
+    pair_idx:      [T, F/pt] indices into ``pairs`` per clip.
+    """
+
+    unique_frames: np.ndarray
+    clip_idx: np.ndarray
+    pairs: np.ndarray
+    pair_idx: np.ndarray
+
+    @property
+    def frame_dedup(self) -> float:
+        """Pixels uploaded naive / frame-bank."""
+        return self.clip_idx.size / max(len(self.unique_frames), 1)
+
+    @property
+    def pair_dedup(self) -> float:
+        """Pair embeds computed naive / deduped."""
+        return self.pair_idx.size / max(len(self.pairs), 1)
+
+
+def build_clip_plan(clip_frames: np.ndarray, tubelet: int = 2) -> ClipPlan:
+    """clip_frames: [T, F] integer frame numbers of every timestep's clip
+    (any sampler — ``omnivore_frame_indices`` rows, uniform stride, ...).
+    Pairs are formed exactly as the backbone's VALID temporal conv
+    groups them: (f_0, f_1), (f_2, f_3), ... within each clip."""
+    clip_frames = np.asarray(clip_frames)
+    t, f = clip_frames.shape
+    if f % tubelet:
+        raise ValueError(f"clip length {f} not divisible by tubelet "
+                         f"{tubelet}")
+    uniq, inv = np.unique(clip_frames, return_inverse=True)
+    clip_idx = inv.reshape(t, f).astype(np.int32)
+    grouped = clip_idx.reshape(t * (f // tubelet), tubelet)
+    pairs, pinv = np.unique(grouped, axis=0, return_inverse=True)
+    pair_idx = pinv.reshape(t, f // tubelet).astype(np.int32)
+    return ClipPlan(uniq, clip_idx, pairs.astype(np.int32), pair_idx)
+
+
+def _pad_rows(x: np.ndarray, batch: int) -> np.ndarray:
+    pad = (-len(x)) % batch
+    if pad:
+        x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+    return x
+
+
+def extract_dense_visual(
+    model,
+    variables,
+    frames,                      # [Nf, H, W, 3] unique frames (host or dev)
+    plan: ClipPlan,
+    *,
+    batch_size: int = 8,
+    mode: str = "pair_embed",    # "pair_embed" | "gather" | "naive"
+    embed_batch: int = 64,
+    pad_batches: bool = True,
+    apply_kwargs: Optional[dict] = None,
+) -> np.ndarray:
+    """[T, D] features for every timestep clip, computed overlap-aware.
+
+    ``gather``: frame bank in HBM, clips assembled on device, full
+    backbone forward — exact trivially (same pixels).
+    ``pair_embed``: additionally embeds each unique frame pair once and
+    runs the trunk from the gathered pair-embed bank — exact because the
+    embed conv has no cross-pair coupling (tested vs the naive path).
+    ``naive``: assemble clips on the HOST and upload each in full (the
+    detect_video_media behavior) — the A/B baseline.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    kw = apply_kwargs or {}
+    t = len(plan.clip_idx)
+    feats = []
+
+    if mode == "naive":
+        host_frames = np.asarray(frames)
+
+        @jax.jit
+        def fwd(variables, clips):
+            return model.apply(variables, clips, **kw)
+
+        idx = _pad_rows(plan.clip_idx, batch_size) if pad_batches \
+            else plan.clip_idx
+        for i in range(0, len(idx), batch_size):
+            clips = host_frames[idx[i:i + batch_size]]
+            feats.append(np.asarray(fwd(variables, jnp.asarray(clips))))
+        return np.concatenate(feats)[:t]
+
+    dev_frames = jnp.asarray(frames)
+
+    if mode == "gather":
+
+        @jax.jit
+        def fwd(variables, bank, idx):
+            return model.apply(variables, bank[idx], **kw)
+
+        idx = _pad_rows(plan.clip_idx, batch_size) if pad_batches \
+            else plan.clip_idx
+        for i in range(0, len(idx), batch_size):
+            feats.append(np.asarray(
+                fwd(variables, dev_frames,
+                    jnp.asarray(idx[i:i + batch_size]))))
+        return np.concatenate(feats)[:t]
+
+    if mode != "pair_embed":
+        raise ValueError(f"unknown mode {mode!r}")
+
+    @jax.jit
+    def embed(variables, bank, pidx):
+        # [b, pt, H, W, 3] -> [b, 1, h, w, C] -> [b, h, w, C]
+        out = model.apply(variables, bank[pidx], embed_only=True, **kw)
+        return out[:, 0]
+
+    prows = _pad_rows(plan.pairs, embed_batch)
+    embeds = []
+    for i in range(0, len(prows), embed_batch):
+        embeds.append(embed(variables, dev_frames,
+                            jnp.asarray(prows[i:i + embed_batch])))
+    embed_bank = jnp.concatenate(embeds)[:len(plan.pairs)]
+
+    @jax.jit
+    def trunk(variables, bank, pidx):
+        # [b, F/pt, h, w, C] assembled clip embedding
+        return model.apply(variables, bank[pidx], embedded=True, **kw)
+
+    idx = _pad_rows(plan.pair_idx, batch_size) if pad_batches \
+        else plan.pair_idx
+    for i in range(0, len(idx), batch_size):
+        feats.append(np.asarray(
+            trunk(variables, embed_bank,
+                  jnp.asarray(idx[i:i + batch_size]))))
+    return np.concatenate(feats)[:t]

@@ -310,15 +310,29 @@ class SwinTransformer3D(nn.Module):
     act_scales: tuple = ()
 
     @nn.compact
-    def __call__(self, video, pool: bool = True):
+    def __call__(self, video, pool: bool = True, *,
+                 embed_only: bool = False, embedded: bool = False):
+        """``embed_only``: return the patch embedding (conv + patch_norm)
+        only — a per-temporal-pair map [B, T/pt, H/ph, W/pw, C] with no
+        cross-pair coupling (VALID conv, stride == kernel), so dense
+        0.2s-hop extraction can embed each unique frame pair ONCE and
+        reassemble clips by gather (``extract/dense_media.py``).
+        ``embedded``: ``video`` is already that embedding; skip the conv
+        (the full param tree still applies — flax ignores unvisited
+        params)."""
         from tim_tpu.ops.quant import filter_scales
-        x = nn.Conv(self.embed_dim, kernel_size=self.patch_size,
-                    strides=self.patch_size, padding="VALID",
-                    dtype=self.dtype, param_dtype=jnp.float32,
-                    name="patch_embed")(video.astype(self.dtype))
-        if self.patch_norm:
-            x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
-                             name="patch_norm")(x).astype(self.dtype)
+        if embedded:
+            x = video.astype(self.dtype)
+        else:
+            x = nn.Conv(self.embed_dim, kernel_size=self.patch_size,
+                        strides=self.patch_size, padding="VALID",
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name="patch_embed")(video.astype(self.dtype))
+            if self.patch_norm:
+                x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32,
+                                 name="patch_norm")(x).astype(self.dtype)
+        if embed_only:
+            return x
 
         for i, (depth, heads) in enumerate(zip(self.depths,
                                                self.num_heads)):

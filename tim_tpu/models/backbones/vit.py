@@ -206,16 +206,32 @@ class VideoMAEViT(nn.Module):
     remat: bool = False
 
     @nn.compact
-    def __call__(self, video):
+    def __call__(self, video, *, embed_only: bool = False,
+                 embedded: bool = False):
+        """``embed_only``: return the tubelet embedding only — a
+        per-frame-pair map [B, T/2, H/ps, W/ps, C] with no cross-pair
+        coupling (VALID conv, stride == kernel) and NO position table
+        (positions depend on where a pair sits in its clip, so the table
+        is added after clip assembly). ``embedded``: ``video`` is already
+        that embedding; skip the conv. Together they let dense 0.2s-hop
+        extraction embed each unique frame pair once
+        (``extract/dense_media.py``)."""
         from tim_tpu.ops.quant import filter_scales
-        b, t, h, w, c = video.shape
-        x = nn.Conv(
-            self.embed_dim,
-            kernel_size=(self.tubelet_size, self.patch_size,
+        if embedded:
+            b = video.shape[0]
+            x = video.astype(self.dtype)
+        else:
+            b = video.shape[0]
+            x = nn.Conv(
+                self.embed_dim,
+                kernel_size=(self.tubelet_size, self.patch_size,
+                             self.patch_size),
+                strides=(self.tubelet_size, self.patch_size,
                          self.patch_size),
-            strides=(self.tubelet_size, self.patch_size, self.patch_size),
-            padding="VALID", dtype=self.dtype, param_dtype=jnp.float32,
-            name="patch_embed")(video.astype(self.dtype))
+                padding="VALID", dtype=self.dtype, param_dtype=jnp.float32,
+                name="patch_embed")(video.astype(self.dtype))
+        if embed_only:
+            return x
         x = x.reshape(b, -1, self.embed_dim)
 
         pos = sinusoid_position_table(x.shape[1], self.embed_dim)

@@ -30,9 +30,20 @@ exact softmax-attention per (window, head) —
     out    = softmax(scores) @ v               (probs cast to v.dtype)
 
 matching the XLA path's numerics (bf16 matmul inputs, fp32 scores and
-softmax, bf16 PV). Forward-only: the extraction pipeline never
-differentiates through the Omnivore trunk (the reference finetunes
-VideoMAE, not Omnivore).
+softmax, bf16 PV).
+
+Backward (``jax.custom_vjp``): the reference's Omnivore trunk is a
+trainable torch module (``omnivore/models/swin_transformer.py``), so
+the kernel must back a finetune step too. N = 784 fits in VMEM, so the
+backward recomputes scores + softmax exactly (same fp32 ops as the
+forward — no saved stats needed) and emits dq/dk/dv per window plus
+``dab`` accumulated over the ``rep`` windows sharing a bias type: the
+dab output block is indexed ``batch // rep`` like ``ab``, and with the
+batch axis innermost the kernel revisits the same VMEM block for
+``rep`` consecutive grid steps (init on the first, add on the rest) —
+one HBM write-back per (type, head). That keeps training free of the
+[BW, H, N, N] score/probability residuals that OOM the XLA path at
+batch 16.
 """
 
 from __future__ import annotations
@@ -58,6 +69,129 @@ def _kernel(q_ref, k_ref, v_ref, ab_ref, o_ref, *, sm_scale: float):
     o_ref[0, 0] = o.astype(o_ref.dtype)
 
 
+def _specs(bw: int, h: int, n: int, dh: int, rep: int):
+    qkv_spec = pl.BlockSpec((1, 1, n, dh), lambda hi, bi: (bi, hi, 0, 0))
+    # batch innermost: consecutive steps share the ab block for `rep`
+    # iterations, so the pipeline keeps it resident instead of
+    # re-fetching n_types*H*N^2 data BW*H times.
+    ab_spec = pl.BlockSpec(
+        (1, 1, n, n), lambda hi, bi: (bi // rep, hi, 0, 0))
+    return qkv_spec, ab_spec
+
+
+def _fwd_call(q, k, v, ab, sm_scale, interpret):
+    bw, h, n, dh = q.shape
+    rep = bw // ab.shape[0]
+    qkv_spec, ab_spec = _specs(bw, h, n, dh, rep)
+    return pl.pallas_call(
+        functools.partial(_kernel, sm_scale=float(sm_scale)),
+        grid=(h, bw),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, ab_spec],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((bw, h, n, dh), q.dtype),
+        interpret=interpret,
+    )(q, k, v, ab)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, ab_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, dab_ref, *,
+                sm_scale: float, rep: int):
+    """Recompute p exactly (same fp32 ops as the forward), then
+
+        dv        = p^T do
+        dp        = do v^T
+        ds        = p * (dp - rowsum(dp * p))      (softmax backward)
+        dq        = (ds @ k) * sm_scale
+        dk        = (ds^T @ q) * sm_scale
+        dab[type] = sum over the type's `rep` windows of ds
+
+    fp32 intermediates cast to the operand dtype before each MXU matmul
+    (the same bf16-inputs / fp32-accumulate convention as the forward)."""
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    s = s * sm_scale + ab_ref[0, 0].astype(jnp.float32)
+    p = jax.nn.softmax(s, axis=-1)
+
+    pc = p.astype(v.dtype)
+    dv = jax.lax.dot_general(                      # [N_k, dh] = p^T do
+        pc, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(                      # [N_q, N_k] = do v^T
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+
+    dsc = (ds * sm_scale).astype(q.dtype)
+    dq = jax.lax.dot_general(                      # [N_q, dh] = ds k
+        dsc, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(                      # [N_k, dh] = ds^T q
+        dsc, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+    # dab block (bi // rep, hi) is revisited for `rep` consecutive grid
+    # steps (batch innermost): initialize on the type's first window,
+    # accumulate on the rest — written back to HBM once per (type, head).
+    bi = pl.program_id(1)
+    dab = ds.astype(dab_ref.dtype)
+
+    @pl.when(bi % rep == 0)
+    def _init():
+        dab_ref[0, 0] = dab
+
+    @pl.when(bi % rep != 0)
+    def _accum():
+        dab_ref[0, 0] += dab
+
+
+def _bwd_call(q, k, v, ab, do, sm_scale, interpret):
+    bw, h, n, dh = q.shape
+    n_types = ab.shape[0]
+    rep = bw // n_types
+    qkv_spec, ab_spec = _specs(bw, h, n, dh, rep)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, sm_scale=float(sm_scale), rep=rep),
+        grid=(h, bw),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, ab_spec, qkv_spec],
+        out_specs=[qkv_spec, qkv_spec, qkv_spec, ab_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((bw, h, n, dh), q.dtype),
+            jax.ShapeDtypeStruct((bw, h, n, dh), k.dtype),
+            jax.ShapeDtypeStruct((bw, h, n, dh), v.dtype),
+            jax.ShapeDtypeStruct((n_types, h, n, n), ab.dtype),
+        ],
+        interpret=interpret,
+    )(q, k, v, ab, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash(q, k, v, ab, sm_scale, interpret):
+    return _fwd_call(q, k, v, ab, sm_scale, interpret)
+
+
+def _flash_fwd(q, k, v, ab, sm_scale, interpret):
+    # Residuals are the inputs themselves; the backward recomputes the
+    # softmax in VMEM, so no [BW, H, N, N] tensor ever reaches HBM.
+    return _fwd_call(q, k, v, ab, sm_scale, interpret), (q, k, v, ab)
+
+
+def _flash_bwd(sm_scale, interpret, res, do):
+    q, k, v, ab = res
+    return _bwd_call(q, k, v, ab, do, sm_scale, interpret)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
 def window_attention_flash(
     q: jnp.ndarray,            # [BW, H, N, dh]
     k: jnp.ndarray,            # [BW, H, N, dh]
@@ -73,7 +207,8 @@ def window_attention_flash(
     window-type-MAJOR: entry ``t * (BW // n_types) + b`` holds batch
     element ``b`` of window type ``t`` (types are contiguous runs).
     Returns ``softmax(q k^T * sm_scale + ab[type]) v`` as [BW, H, N, dh]
-    in ``q.dtype``.
+    in ``q.dtype``. Differentiable (custom VJP; flash-style recompute
+    backward with type-accumulated dab).
     """
     bw, h, n, dh = q.shape
     n_types = ab.shape[0]
@@ -81,22 +216,7 @@ def window_attention_flash(
         raise ValueError(f"n_types {n_types} must divide batch {bw}")
     if ab.shape != (n_types, h, n, n):
         raise ValueError(f"ab shape {ab.shape} != {(n_types, h, n, n)}")
-    rep = bw // n_types
-
-    qkv_spec = pl.BlockSpec((1, 1, n, dh), lambda hi, bi: (bi, hi, 0, 0))
-    ab_spec = pl.BlockSpec(
-        (1, 1, n, n), lambda hi, bi: (bi // rep, hi, 0, 0))
-    # batch innermost: consecutive steps share the ab block for `rep`
-    # iterations, so the pipeline keeps it resident instead of
-    # re-fetching n_types*H*N^2 data BW*H times.
-    return pl.pallas_call(
-        functools.partial(_kernel, sm_scale=float(sm_scale)),
-        grid=(h, bw),
-        in_specs=[qkv_spec, qkv_spec, qkv_spec, ab_spec],
-        out_specs=qkv_spec,
-        out_shape=jax.ShapeDtypeStruct((bw, h, n, dh), q.dtype),
-        interpret=interpret,
-    )(q, k, v, ab)
+    return _flash(q, k, v, ab, float(sm_scale), bool(interpret))
 
 
 def window_type_major(x: jnp.ndarray, n_types: int) -> jnp.ndarray:

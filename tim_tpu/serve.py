@@ -342,6 +342,49 @@ class DetectionServer:
                                  **detect_kwargs)
 
     # ------------------------------------------------------------------
+    def detect_video_frames(
+        self,
+        frames: np.ndarray,                  # [Nf, H, W, 3] unique frames
+        clip_frames: np.ndarray,             # [T, F] frame idx per timestep
+        feat_times: np.ndarray,              # [T, >=2]
+        duration: float,
+        *,
+        visual_model,                        # backbone nn.Module
+        visual_variables,
+        audio_specs: Optional[np.ndarray] = None,
+        audio_extractor=None,
+        extract_batch: int = 8,
+        mode: str = "pair_embed",
+        tubelet: int = 2,
+        **detect_kwargs,
+    ) -> Dict[str, np.ndarray]:
+        """Overlap-aware raw-media serving: ``detect_video_media`` minus
+        its redundant uploads/embeds. The host ships each unique frame
+        ONCE; clips are assembled on device by gather, and each unique
+        frame pair is patch-embedded once (``extract/dense_media.py`` —
+        exact, ~5x less host->device traffic at the reference's 0.2 s
+        feature hop, ``make_framepickle.py:37-38``). ``clip_frames``
+        indexes rows of ``frames`` (use ``build_clip_plan`` outputs or
+        raw sampler rows — any integer table works)."""
+        from tim_tpu.extract.dense_media import (
+            build_clip_plan, extract_dense_visual)
+        from tim_tpu.extract.pipeline import extract_features_for_video
+
+        plan = build_clip_plan(np.asarray(clip_frames), tubelet=tubelet)
+        v_feats = extract_dense_visual(
+            visual_model, visual_variables, frames[plan.unique_frames],
+            plan, batch_size=extract_batch, mode=mode)
+        a_feats = None
+        if audio_specs is not None:
+            assert audio_extractor is not None, \
+                "audio spectrograms given without an audio_extractor"
+            a_feats = extract_features_for_video(
+                lambda t, a: audio_specs[t], len(audio_specs), 1,
+                audio_extractor, batch_size=extract_batch)[:, 0]
+        return self.detect_video(v_feats, a_feats, feat_times, duration,
+                                 **detect_kwargs)
+
+    # ------------------------------------------------------------------
     def detect_video(
         self,
         v_feats: Optional[np.ndarray],      # [T, Dv] (aug already chosen)
