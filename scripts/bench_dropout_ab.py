@@ -109,8 +109,21 @@ def detection(bits, batch_size=64, iters=10):
 
 
 if __name__ == "__main__":
-    print("devices:", jax.devices(), flush=True)
-    for bits in (32, 8):
-        detection(bits)
-    for bits in (32, 8):
-        recognition(bits)
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--task", choices=("detection", "recognition", "both"),
+                    default="both")
+    ap.add_argument("--bits", type=int, nargs="+", default=[32, 8],
+                    help="dropout_bits variants to time (set "
+                    "TIM_TPU_DROPOUT_MUL=1 to A/B the multiply-form "
+                    "uint8 mask, VERDICT r4 #7)")
+    args = ap.parse_args()
+    print("devices:", jax.devices(),
+          "DROPOUT_MUL=", os.environ.get("TIM_TPU_DROPOUT_MUL", "0"),
+          flush=True)
+    if args.task in ("detection", "both"):
+        for bits in args.bits:
+            detection(bits)
+    if args.task in ("recognition", "both"):
+        for bits in args.bits:
+            recognition(bits)

@@ -105,6 +105,7 @@ def test_vit_flash_wiring_sharded_clips(mesh, monkeypatch):
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=0)
 
 
+@pytest.mark.slow
 def test_fused_detection_pipeline_sharded_batch(mesh):
     """One FusedDetectionPipeline forward with the window batch (clips +
     spectrograms + times) sharded over 'data' equals the unsharded

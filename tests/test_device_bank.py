@@ -1,6 +1,7 @@
 """On-device window gather == host dataset assembly."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -40,6 +41,7 @@ def test_device_gather_matches_host_dataset():
                                    atol=1e-6)
 
 
+@pytest.mark.slow
 def test_bank_train_step_matches_host_step():
     from tim_tpu import config as C
     from tim_tpu.models import TimRecognition

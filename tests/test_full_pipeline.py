@@ -57,6 +57,7 @@ def media(tmp_path_factory):
     return tmp, durations, table
 
 
+@pytest.mark.slow
 def test_three_stage_pipeline(media, monkeypatch):
     tmp, durations, table = media
     import pandas as pd

@@ -1,6 +1,7 @@
 """Fused pipeline: raw clips + spectrograms -> TIM logits in one jit."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -11,6 +12,7 @@ from tim_tpu.models.backbones.vit import VideoMAEViT
 from tim_tpu.models.fused import FusedRecognitionPipeline
 
 
+@pytest.mark.slow
 def test_fused_pipeline_end_to_end():
     # tiny backbones, matching feature widths: swin 8*2^3? embed 8 ->
     # feature 8 * 2^(stages-1): depths (1,1) -> 16; vit embed 16

@@ -33,6 +33,7 @@ def _make_batch(cfg, batch, nv, na, seed=0):
 
 
 @pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2)])
+@pytest.mark.slow
 def test_sharded_step_matches_single_device(mesh_shape):
     assert len(jax.devices()) >= 8, "conftest must provide 8 cpu devices"
     cfg = C.ModelConfig(
@@ -120,6 +121,7 @@ def test_param_shardings_shards_divisible_heads():
         (None, "model")
 
 
+@pytest.mark.slow
 def test_sequence_parallel_step_matches_single_device():
     """dp x tp x SP: token-axis sharding constraints in the encoder's
     post-LN regions (cfg.sequence_parallel) leave the training step

@@ -43,6 +43,7 @@ def _recognition_setup(bundle, num_feats=8):
     return ws, ds, cfg
 
 
+@pytest.mark.slow
 def test_recognition_overfit(bundle):
     ws, ds, cfg = _recognition_setup(bundle)
     tcfg = C.TrainConfig(batch_size=4, lr=3e-4, mixup_alpha=0.0,
@@ -78,6 +79,7 @@ def test_recognition_overfit(bundle):
     assert all(np.isfinite(float(v)) for v in eval_losses.values())
 
 
+@pytest.mark.slow
 def test_training_rng_rbg_path(bundle):
     """TrainConfig.rng_impl='rbg' (the default, TPU hardware RNG for
     dropout bits — scripts/bench_bwd_micro.py measured 208->245 win/s
@@ -124,6 +126,7 @@ def test_training_rng_rbg_path(bundle):
     assert float(ma["loss"]) != float(mb["loss"])
 
 
+@pytest.mark.slow
 def test_recognition_checkpoint_roundtrip(bundle, tmp_path):
     ws, ds, cfg = _recognition_setup(bundle)
     tcfg = C.TrainConfig()
@@ -161,6 +164,7 @@ def test_shape_matched_merge_logs_and_merges():
     np.testing.assert_array_equal(merged["b"]["c"], np.zeros(3))
 
 
+@pytest.mark.slow
 def test_detection_overfit(bundle):
     num_feats = 8
     window_size = num_feats * 2 * 0.2

@@ -35,6 +35,13 @@ def coarse_dropout(rng, x: jnp.ndarray, rate: float) -> jnp.ndarray:
     bits = jax.random.bits(rng, x.shape, dtype=jnp.uint8)
     keep = bits < jnp.uint8(keep_q)
     scale = jnp.asarray(256.0 / keep_q, x.dtype)
+    import os
+    if os.environ.get("TIM_TPU_DROPOUT_MUL") == "1":
+        # Experiment (VERDICT r4 #7): express the mask as one multiply
+        # (mask value scale-or-0) instead of a select, giving XLA a pure
+        # mul to fold into the producing matmul/gelu epilogue. Same
+        # values exactly (0 * x == select 0 for finite activations).
+        return x * (keep.astype(x.dtype) * scale)
     return jnp.where(keep, x * scale, jnp.zeros_like(x))
 
 
