@@ -31,7 +31,11 @@ def main():
                     help="grad-parity check (depth-2 trunk) only")
     ap.add_argument("--remat", action="store_true",
                     help="jax.checkpoint each ViT block (memory knob; "
-                         "see VideoMAEViT.remat)")
+                         "see VideoMAEViT.remat; INCOMPATIBLE with "
+                         "--flash: compiler crash, round 5)")
+    ap.add_argument("--remat_mlp", action="store_true",
+                    help="MLP-only remat (drops the [B,S,4096] fc1/gelu "
+                         "residuals; composes with flash)")
     ap.add_argument("--flash_only", action="store_true",
                     help="skip the XLA-attention half of the sweep")
     args = ap.parse_args()
@@ -51,7 +55,7 @@ def main():
     def build(flash, batch, depth=24):
         model = TwoHeadViT(trunk=VideoMAEViT(
             dtype=jnp.bfloat16, use_flash=flash, depth=depth,
-            remat=args.remat))
+            remat=args.remat, remat_mlp=args.remat_mlp))
         video = jnp.asarray(
             rnd.normal(size=(batch, 16, 224, 224, 3)) * 0.1, jnp.bfloat16)
         params = jax.jit(model.init)(key, video[:1])["params"]
@@ -117,7 +121,8 @@ def main():
                 dt = (time.perf_counter() - t0) / args.iters
                 print(f"[finetune] vit-l b{batch}"
                       f"{' flash' if flash else ' xla'}"
-                      f"{' remat' if args.remat else ''}: "
+                      f"{' remat' if args.remat else ''}"
+                      f"{' remat_mlp' if args.remat_mlp else ''}: "
                       f"{dt * 1e3:.1f} ms/step = "
                       f"{batch / dt:.2f} clips/s "
                       f"({dt / batch * 1e3:.1f} ms/clip)", flush=True)

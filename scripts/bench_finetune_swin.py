@@ -13,6 +13,7 @@ XLA path ever reach HBM. Run on the chip:
 """
 
 import argparse
+import functools
 import os
 import sys
 import time
@@ -38,8 +39,14 @@ def main():
     import optax
 
     from tim_tpu.models.backbones.swin3d import SwinTransformer3D
+    from tim_tpu.ops.pallas_swin import SWIN_FLASH_TRAIN_COMPILER_OPTIONS
     from tim_tpu.runner.backbone import TwoHeadViT, make_two_head_step
     from tim_tpu.train.state import create_train_state
+
+    def jit_opts(flash):
+        # required for the flash train step to fit the scoped-vmem
+        # compile budget (ops/pallas_swin.py)
+        return SWIN_FLASH_TRAIN_COMPILER_OPTIONS if flash else None
 
     print("devices:", jax.devices(), flush=True)
     rnd = np.random.default_rng(0)
@@ -67,8 +74,9 @@ def main():
             model, state, batch = build(flash, 2, depths=(2, 2),
                                         num_heads=(4, 8))
             step = make_two_head_step(model, mixup_alpha=0.0)
-            new_state, metrics = jax.jit(step)(state, batch,
-                                               jax.random.PRNGKey(1))
+            new_state, metrics = jax.jit(
+                step, compiler_options=jit_opts(flash))(
+                state, batch, jax.random.PRNGKey(1))
             delta = jax.tree_util.tree_map(
                 lambda a, b: np.asarray(a, np.float32)
                 - np.asarray(b, np.float32),
@@ -97,7 +105,8 @@ def main():
                 step = make_two_head_step(model, mixup_alpha=0.8)
                 rng = jax.random.PRNGKey(1)
 
-                @jax.jit
+                @functools.partial(
+                    jax.jit, compiler_options=jit_opts(flash))
                 def run(state, batch):
                     def body(i, carry):
                         s, _ = carry

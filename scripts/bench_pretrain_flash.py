@@ -28,6 +28,8 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--batches", type=int, nargs="+", default=[2, 8, 16])
     ap.add_argument("--mask_ratio", type=float, default=0.9)
+    ap.add_argument("--remat_mlp", action="store_true",
+                    help="MLP-only remat (composes with flash)")
     ap.add_argument("--remat", action="store_true",
                     help="jax.checkpoint each ViT block (memory knob)")
     ap.add_argument("--flash_only", action="store_true",
@@ -49,7 +51,7 @@ def main():
 
     def build(flash, batch):
         model = PretrainVideoMAE(dtype=jnp.bfloat16, use_flash=flash,
-                                 remat=args.remat)
+                                 remat=args.remat, remat_mlp=args.remat_mlp)
         masking = TubeMasking(model.grid, args.mask_ratio)
         video = jnp.asarray(
             rnd.normal(size=(batch, 16, 224, 224, 3)) * 0.1, jnp.float32)
@@ -85,7 +87,8 @@ def main():
                 dt = (time.perf_counter() - t0) / args.iters
                 print(f"[pretrain] vit-l b{batch}"
                       f"{' flash' if flash else ' xla'}"
-                      f"{' remat' if args.remat else ''}: "
+                      f"{' remat' if args.remat else ''}"
+                      f"{' remat_mlp' if args.remat_mlp else ''}: "
                       f"{dt * 1e3:.1f} ms/step = "
                       f"{batch / dt:.2f} clips/s "
                       f"({dt / batch * 1e3:.1f} ms/clip)", flush=True)

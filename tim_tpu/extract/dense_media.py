@@ -35,6 +35,7 @@ transfer share; see docs/PERFORMANCE.md for the measured closure.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable, Optional
 
 import numpy as np
@@ -92,6 +93,54 @@ def _pad_rows(x: np.ndarray, batch: int) -> np.ndarray:
     return x
 
 
+# Jitted appliers cached on (module, apply-kwargs): flax modules hash by
+# their config fields, so repeated extract calls (one per video in a
+# production sweep) reuse the compiled program instead of paying a
+# retrace + relay compile round-trip each time (measured: a fresh
+# @jax.jit per call made the gather path SLOWER than naive).
+@functools.lru_cache(maxsize=32)
+def _jit_full(model, kw_items):
+    import jax
+
+    @jax.jit
+    def fwd(variables, clips):
+        return model.apply(variables, clips, **dict(kw_items))
+    return fwd
+
+
+@functools.lru_cache(maxsize=32)
+def _jit_gather_full(model, kw_items):
+    import jax
+
+    @jax.jit
+    def fwd(variables, bank, idx):
+        return model.apply(variables, bank[idx], **dict(kw_items))
+    return fwd
+
+
+@functools.lru_cache(maxsize=32)
+def _jit_embed(model, kw_items):
+    import jax
+
+    @jax.jit
+    def embed(variables, bank, pidx):
+        out = model.apply(variables, bank[pidx], embed_only=True,
+                          **dict(kw_items))
+        return out[:, 0]
+    return embed
+
+
+@functools.lru_cache(maxsize=32)
+def _jit_trunk(model, kw_items):
+    import jax
+
+    @jax.jit
+    def trunk(variables, bank, pidx):
+        return model.apply(variables, bank[pidx], embedded=True,
+                           **dict(kw_items))
+    return trunk
+
+
 def extract_dense_visual(
     model,
     variables,
@@ -118,16 +167,13 @@ def extract_dense_visual(
     import jax.numpy as jnp
 
     kw = apply_kwargs or {}
+    kw_items = tuple(sorted(kw.items()))
     t = len(plan.clip_idx)
     feats = []
 
     if mode == "naive":
         host_frames = np.asarray(frames)
-
-        @jax.jit
-        def fwd(variables, clips):
-            return model.apply(variables, clips, **kw)
-
+        fwd = _jit_full(model, kw_items)
         idx = _pad_rows(plan.clip_idx, batch_size) if pad_batches \
             else plan.clip_idx
         for i in range(0, len(idx), batch_size):
@@ -138,11 +184,7 @@ def extract_dense_visual(
     dev_frames = jnp.asarray(frames)
 
     if mode == "gather":
-
-        @jax.jit
-        def fwd(variables, bank, idx):
-            return model.apply(variables, bank[idx], **kw)
-
+        fwd = _jit_gather_full(model, kw_items)
         idx = _pad_rows(plan.clip_idx, batch_size) if pad_batches \
             else plan.clip_idx
         for i in range(0, len(idx), batch_size):
@@ -154,12 +196,8 @@ def extract_dense_visual(
     if mode != "pair_embed":
         raise ValueError(f"unknown mode {mode!r}")
 
-    @jax.jit
-    def embed(variables, bank, pidx):
-        # [b, pt, H, W, 3] -> [b, 1, h, w, C] -> [b, h, w, C]
-        out = model.apply(variables, bank[pidx], embed_only=True, **kw)
-        return out[:, 0]
-
+    # [b, pt, H, W, 3] -> [b, 1, h, w, C] -> [b, h, w, C] pair embeds
+    embed = _jit_embed(model, kw_items)
     prows = _pad_rows(plan.pairs, embed_batch)
     embeds = []
     for i in range(0, len(prows), embed_batch):
@@ -167,11 +205,8 @@ def extract_dense_visual(
                             jnp.asarray(prows[i:i + embed_batch])))
     embed_bank = jnp.concatenate(embeds)[:len(plan.pairs)]
 
-    @jax.jit
-    def trunk(variables, bank, pidx):
-        # [b, F/pt, h, w, C] assembled clip embedding
-        return model.apply(variables, bank[pidx], embedded=True, **kw)
-
+    # [b, F/pt, h, w, C] assembled clip embedding -> trunk
+    trunk = _jit_trunk(model, kw_items)
     idx = _pad_rows(plan.pair_idx, batch_size) if pad_batches \
         else plan.pair_idx
     for i in range(0, len(idx), batch_size):

@@ -48,7 +48,11 @@ class PretrainVideoMAE(nn.Module):
     use_flash: bool = False
     # Per-block jax.checkpoint (see ``VideoMAEViT.remat``): drops block
     # activations from autodiff residuals for larger pretrain batches.
+    # Incompatible with use_flash (remat around the Pallas custom_vjp
+    # crashes the TPU compiler, round 5) — use remat_mlp there.
     remat: bool = False
+    # MLP-only remat (see ``ViTBlock.remat_mlp``): composes with flash.
+    remat_mlp: bool = False
 
     @nn.compact
     def __call__(self, video, visible_idx, masked_idx):
@@ -75,6 +79,7 @@ class PretrainVideoMAE(nn.Module):
         for i in range(self.depth):
             xv = block_cls(self.embed_dim, self.num_heads, self.mlp_ratio,
                            dtype=self.dtype, use_flash=self.use_flash,
+                           remat_mlp=self.remat_mlp,
                            name=f"block{i}")(xv)
         xv = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
                           name="encoder_norm")(xv).astype(self.dtype)
@@ -98,6 +103,7 @@ class PretrainVideoMAE(nn.Module):
             d = block_cls(self.decoder_dim, self.decoder_heads,
                           self.mlp_ratio, dtype=self.dtype,
                           use_flash=self.use_flash,
+                          remat_mlp=self.remat_mlp,
                           name=f"decoder_block{i}")(d)
         d = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32,
                          name="decoder_norm")(d).astype(self.dtype)

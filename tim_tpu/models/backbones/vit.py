@@ -133,25 +133,17 @@ class ViTBlock(nn.Module):
     use_flash: bool = False
     quantized: bool = False
     act_scales: tuple = ()
+    # Rematerialize ONLY the LN2+MLP sub-block (jax.checkpoint). Drops
+    # the [B, S, 4*dim] fc1/gelu residuals — the dominant remaining
+    # activation once flash attention removes the softmax probs — while
+    # keeping the Pallas flash custom_vjp OUTSIDE the remat region
+    # (whole-block nn.remat around the flash kernel crashes the TPU
+    # compiler; measured round 5).
+    remat_mlp: bool = False
 
-    @nn.compact
-    def __call__(self, x):
+    def _mlp(self, x):
         from tim_tpu.models.common import Int8Dense
-        from tim_tpu.ops.quant import filter_scales, scale_for
-
-        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
-        h = VideoMAEAttention(self.dim, self.num_heads, dtype=self.dtype,
-                              use_flash=self.use_flash,
-                              quantized=self.quantized,
-                              act_scales=filter_scales(
-                                  self.act_scales, "attn"),
-                              name="attn")(h.astype(self.dtype))
-        if self.init_values > 0:
-            gamma_1 = self.param(
-                "gamma_1", nn.initializers.constant(self.init_values),
-                (self.dim,))
-            h = h * gamma_1.astype(self.dtype)
-        x = x + h
+        from tim_tpu.ops.quant import scale_for
 
         if self.quantized:
             def dense(feats, name):
@@ -175,7 +167,29 @@ class ViTBlock(nn.Module):
                 "gamma_2", nn.initializers.constant(self.init_values),
                 (self.dim,))
             h = h * gamma_2.astype(self.dtype)
-        return x + h
+        return h
+
+    @nn.compact
+    def __call__(self, x):
+        from tim_tpu.ops.quant import filter_scales
+
+        h = nn.LayerNorm(epsilon=1e-6, dtype=jnp.float32, name="norm1")(x)
+        h = VideoMAEAttention(self.dim, self.num_heads, dtype=self.dtype,
+                              use_flash=self.use_flash,
+                              quantized=self.quantized,
+                              act_scales=filter_scales(
+                                  self.act_scales, "attn"),
+                              name="attn")(h.astype(self.dtype))
+        if self.init_values > 0:
+            gamma_1 = self.param(
+                "gamma_1", nn.initializers.constant(self.init_values),
+                (self.dim,))
+            h = h * gamma_1.astype(self.dtype)
+        x = x + h
+
+        mlp = (nn.remat(ViTBlock._mlp) if self.remat_mlp
+               else ViTBlock._mlp)
+        return x + mlp(self, x)
 
 
 class VideoMAEViT(nn.Module):
@@ -203,7 +217,14 @@ class VideoMAEViT(nn.Module):
     # block activations from the autodiff residuals, unlocking larger
     # finetune batches (the reference leans on DeepSpeed ZeRO for the
     # same problem, ``run_class_finetuning.py``). No effect on inference.
+    # NOTE: incompatible with use_flash — whole-block remat around the
+    # Pallas custom_vjp crashes the TPU compiler (round 5); use
+    # remat_mlp with flash instead.
     remat: bool = False
+    # MLP-only remat: drops the [B, S, 4096] fc1/gelu residuals while
+    # keeping the flash kernel outside the checkpoint region. Composes
+    # with use_flash.
+    remat_mlp: bool = False
 
     @nn.compact
     def __call__(self, video, *, embed_only: bool = False,
@@ -245,6 +266,7 @@ class VideoMAEViT(nn.Module):
                           quantized=self.quantized,
                           act_scales=filter_scales(
                               self.act_scales, f"block{i}"),
+                          remat_mlp=self.remat_mlp,
                           name=f"block{i}")(x)
 
         x = jnp.mean(x.astype(jnp.float32), axis=1)

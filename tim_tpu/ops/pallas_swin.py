@@ -54,6 +54,19 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+# The backward kernel's per-step live set (~18 MB: the ab bias block +
+# recomputed fp32 scores/probs + dp + ds + the fp32 dab output block +
+# bf16 transpose copies, each [784, 784]) exceeds the TPU compiler's
+# default 16 MB scoped-vmem budget, which fails the COMPILE ("Ran out
+# of memory in memory space vmem ... scoped allocation", measured
+# round 5). Any top-level jit that differentiates through
+# ``window_attention_flash`` must raise the budget via
+# ``jax.jit(..., compiler_options=SWIN_FLASH_TRAIN_COMPILER_OPTIONS)``
+# — compiler_options only reach the remote compiler from the TOP-LEVEL
+# jit (CLAUDE.md). Forward-only programs don't need it (~8 MB live).
+SWIN_FLASH_TRAIN_COMPILER_OPTIONS = {
+    "xla_tpu_scoped_vmem_limit_kib": "32768"}
+
 
 def _kernel(q_ref, k_ref, v_ref, ab_ref, o_ref, *, sm_scale: float):
     q = q_ref[0, 0]                       # [N, dh] (bf16/fp32)
@@ -117,9 +130,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, ab_ref, do_ref,
     s = s * sm_scale + ab_ref[0, 0].astype(jnp.float32)
     p = jax.nn.softmax(s, axis=-1)
 
-    pc = p.astype(v.dtype)
-    dv = jax.lax.dot_general(                      # [N_k, dh] = p^T do
-        pc, do, (((0,), (0,)), ((), ())),
+    # transpose-then-dot (not axis-0 contractions) — the idiom the public
+    # TPU flash kernel's backward uses; Mosaic lowers it reliably
+    dv = jax.lax.dot(                              # [N_k, dh] = p^T do
+        p.T.astype(v.dtype), do,
         preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(                      # [N_q, N_k] = do v^T
         do, v, (((1,), (1,)), ((), ())),
@@ -127,12 +141,10 @@ def _bwd_kernel(q_ref, k_ref, v_ref, ab_ref, do_ref,
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
 
     dsc = (ds * sm_scale).astype(q.dtype)
-    dq = jax.lax.dot_general(                      # [N_q, dh] = ds k
-        dsc, k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    dk = jax.lax.dot_general(                      # [N_k, dh] = ds^T q
-        dsc, q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    dq = jax.lax.dot(                              # [N_q, dh] = ds k
+        dsc, k, preferred_element_type=jnp.float32)
+    dk = jax.lax.dot(                              # [N_k, dh] = ds^T q
+        dsc.T, q, preferred_element_type=jnp.float32)
 
     dq_ref[0, 0] = dq.astype(dq_ref.dtype)
     dk_ref[0, 0] = dk.astype(dk_ref.dtype)

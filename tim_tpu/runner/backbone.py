@@ -95,6 +95,20 @@ def make_two_head_step(model: TwoHeadViT, *, mixup_alpha: float = 0.8,
     return step
 
 
+def _train_compiler_options(trunk) -> Optional[dict]:
+    """Differentiating through the Swin flash kernel needs a larger
+    scoped-vmem budget (see ``ops.pallas_swin``); harmless to the rest
+    of the program, required for the train step to compile at all."""
+    from tim_tpu.models.backbones.swin3d import SwinTransformer3D
+    from tim_tpu.ops.pallas_swin import SWIN_FLASH_TRAIN_COMPILER_OPTIONS
+
+    if (isinstance(trunk, SwinTransformer3D)
+            and getattr(trunk, "use_flash", False)
+            and jax.default_backend() not in ("cpu",)):
+        return dict(SWIN_FLASH_TRAIN_COMPILER_OPTIONS)
+    return None
+
+
 def _batches(dataset, batch_size: int, rng: np.random.Generator,
              shuffle: bool = True, drop_last: bool = True):
     order = np.arange(len(dataset))
@@ -142,7 +156,8 @@ class BackboneFinetuneRunner:
                         warmup_epochs=warmup_epochs)
         self._step_fn = jax.jit(make_two_head_step(
             model, mixup_alpha=mixup_alpha, smoothing=smoothing),
-            donate_argnums=(0,))
+            donate_argnums=(0,),
+            compiler_options=_train_compiler_options(model.trunk))
         self.state = None
 
     def init_state(self, pretrained_encoder: Optional[dict] = None):
