@@ -209,9 +209,13 @@ def test_swin_flash_backbone_grads_parity_tpu():
         return lambda p: jnp.sum(
             model.apply(p, clip).astype(jnp.float32) ** 2)
 
+    from tim_tpu.ops.pallas_swin import SWIN_FLASH_TRAIN_COMPILER_OPTIONS
+
     g_ref = jax.jit(jax.grad(loss(ref_model)))(params)
+    # backward kernel needs the raised scoped-vmem budget (pallas_swin)
     g_got = jax.jit(jax.grad(loss(
-        SwinTransformer3D(use_flash=True, **kwargs))))(params)
+        SwinTransformer3D(use_flash=True, **kwargs))),
+        compiler_options=SWIN_FLASH_TRAIN_COMPILER_OPTIONS)(params)
     for (path, r), (_, g) in zip(
             jax.tree_util.tree_leaves_with_path(g_ref),
             jax.tree_util.tree_leaves_with_path(g_got)):

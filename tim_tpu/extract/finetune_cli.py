@@ -67,11 +67,18 @@ def build_parser():
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint each ViT block: recompute block "
                         "activations in the backward instead of keeping "
-                        "them. Memory knob for batches that otherwise "
-                        "OOM (measured: fits finetune b16/b32 that fail "
-                        "even with flash; costs throughput where the "
-                        "batch already fits — scripts/"
-                        "bench_finetune_flash.py --remat)")
+                        "them. Only valid with --flash_attention off "
+                        "(wrapping the Pallas custom_vjp crashes the TPU "
+                        "compiler); measured it makes the XLA finetune "
+                        "path compile at b8/b16 (123.6/123.8 ms/clip — "
+                        "a fallback, 1.9x slower than flash b8)")
+    p.add_argument("--remat_mlp", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="jax.checkpoint only the LN2+MLP sub-block "
+                        "(composes with flash). Measured: MAE pretrain "
+                        "25.6 -> 20.2 ms/clip at b8 and unlocks b12; "
+                        "finetune flat. auto = on for pretrain when "
+                        "flash is on")
     p.add_argument("--output_dir", type=Path, default=Path("output"))
     p.add_argument("--seed", type=int, default=0)
     return p
@@ -96,12 +103,21 @@ def main(argv=None):
     flash = (jax.default_backend() == "tpu"
              if args.flash_attention == "auto"
              else args.flash_attention == "on")
+    if args.remat and flash:
+        raise SystemExit(
+            "--remat wraps the flash custom_vjp in jax.checkpoint, which "
+            "crashes the TPU compiler (measured round 5). Use "
+            "--remat_mlp on (checkpoints only the MLP sub-block) or "
+            "--flash_attention off.")
+    remat_mlp = (args.mode == "pretrain" and flash
+                 if args.remat_mlp == "auto" else args.remat_mlp == "on")
     vit_kw = dict(
         img_size=args.input_size, patch_size=args.patch_size,
         embed_dim=args.embed_dim, depth=args.depth,
         num_heads=args.num_heads, num_frames=args.num_frames,
         tubelet_size=args.tubelet_size, use_flash=flash,
-        remat=args.remat, dtype=jnp.dtype(args.compute_dtype))
+        remat=args.remat, remat_mlp=remat_mlp,
+        dtype=jnp.dtype(args.compute_dtype))
 
     args.output_dir.mkdir(parents=True, exist_ok=True)
     if args.mode == "pretrain":
