@@ -200,3 +200,94 @@ def test_detect_video_topk_matches_dense():
     np.testing.assert_allclose(d1["segments"], d2["segments"], atol=1e-5)
     np.testing.assert_allclose(d1["scores"], d2["scores"], atol=1e-5)
     np.testing.assert_array_equal(d1["labels"], d2["labels"])
+
+
+def test_detect_video_frames_matches_media():
+    """Overlap-aware raw-frame serving (``detect_video_frames``, frame
+    bank + dedup) yields the identical detections as the naive
+    ``detect_video_media`` clip path, and ``mode="auto"`` dispatches to
+    the measured-best mode per backbone."""
+    from tim_tpu.models.backbones.swin3d import SwinTransformer3D
+    from tim_tpu.models.backbones.vit import VideoMAEViT
+    from tim_tpu.extract import dense_media
+
+    cfg = C.DetectionConfig(
+        visual_classes=(4,), audio_classes=3,
+        visual_input_dim=16, audio_input_dim=12, d_model=16, nhead=2,
+        num_layers=1, num_feats=6, compute_dtype="float32",
+        inference_query_size=0.2)
+    nq = generate_query_pyramid(cfg.inference_query_size).shape[0]
+    model = TimDetection(cfg)
+    rng = jax.random.PRNGKey(0)
+    t_dummy = jnp.zeros((1, 12 + 2 * nq, 2))
+    params = model.init(
+        {"params": rng, "dropout": rng}, jnp.zeros((1, 6, 16)),
+        jnp.zeros((1, 6, 12)), t_dummy, nq, nq,
+        deterministic=True)["params"]
+    server = DetectionServer(cfg, params, feat_stride=2, feat_gap=0.2,
+                             batch_size=4)
+
+    duration = 8.0
+    nfeat = 30
+    starts = np.linspace(0, duration - 1.1, nfeat).astype(np.float32)
+    ft = np.stack([starts, starts + 1.1], -1)
+
+    # dense geometry: 16-frame clips on a 2-frame hop share most frames
+    clip_frames = np.stack([np.arange(t * 2, t * 2 + 16)
+                            for t in range(nfeat)])
+    rnd = np.random.default_rng(3)
+    frames = rnd.normal(size=(clip_frames.max() + 1, 16, 16, 3)) \
+        .astype(np.float32) * 0.1
+
+    specs = rnd.normal(size=(nfeat, 16, 8)).astype(np.float32)
+    wa = jnp.asarray(rnd.normal(size=(16 * 8, 12)) * 0.05, jnp.float32)
+    ax = jax.jit(lambda s: jnp.dot(s.reshape(s.shape[0], -1), wa))
+
+    vit = VideoMAEViT(img_size=16, patch_size=8, embed_dim=16, depth=1,
+                      num_heads=2, num_frames=16, tubelet_size=2)
+    variables = jax.jit(vit.init)(rng, jnp.asarray(frames[clip_frames[:1]]))
+
+    seen_modes = []
+    orig = dense_media.extract_dense_visual
+
+    def spy(*a, **kw):
+        seen_modes.append(kw.get("mode"))
+        return orig(*a, **kw)
+
+    import unittest.mock as mock
+    with mock.patch.object(dense_media, "extract_dense_visual", spy):
+        got = server.detect_video_frames(
+            frames, clip_frames, ft, duration,
+            visual_model=vit, visual_variables=variables,
+            audio_specs=specs, audio_extractor=ax,
+            extract_batch=8, score_threshold=0.01)
+    assert seen_modes == ["gather"], seen_modes  # ViT auto -> gather
+
+    vx = jax.jit(lambda c: vit.apply(variables, c))
+    want = server.detect_video_media(
+        frames[clip_frames], specs, ft, duration,
+        visual_extractor=vx, audio_extractor=ax,
+        extract_batch=8, score_threshold=0.01)
+    assert len(want["scores"]) > 0
+    np.testing.assert_allclose(got["segments"], want["segments"],
+                               atol=1e-5)
+    np.testing.assert_allclose(got["scores"], want["scores"], atol=1e-5)
+    np.testing.assert_array_equal(got["labels"], want["labels"])
+
+    # Swin auto -> pair_embed (dispatch only; stubbed extraction)
+    swin = SwinTransformer3D(patch_size=(2, 4, 4), embed_dim=8,
+                             depths=(1,), num_heads=(2,),
+                             window_size=(2, 3, 3))
+    seen_modes.clear()
+
+    def stub(*a, **kw):
+        seen_modes.append(kw.get("mode"))
+        return np.zeros((nfeat, 16), np.float32)
+
+    with mock.patch.object(dense_media, "extract_dense_visual", stub):
+        server.detect_video_frames(
+            frames, clip_frames, ft, duration,
+            visual_model=swin, visual_variables=None,
+            audio_specs=specs, audio_extractor=ax,
+            extract_batch=8, score_threshold=0.01)
+    assert seen_modes == ["pair_embed"], seen_modes

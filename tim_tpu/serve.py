@@ -354,7 +354,7 @@ class DetectionServer:
         audio_specs: Optional[np.ndarray] = None,
         audio_extractor=None,
         extract_batch: int = 8,
-        mode: str = "pair_embed",
+        mode: str = "auto",
         tubelet: int = 2,
         **detect_kwargs,
     ) -> Dict[str, np.ndarray]:
@@ -365,11 +365,23 @@ class DetectionServer:
         exact, ~5x less host->device traffic at the reference's 0.2 s
         feature hop, ``make_framepickle.py:37-38``). ``clip_frames``
         indexes rows of ``frames`` (use ``build_clip_plan`` outputs or
-        raw sampler rows — any integer table works)."""
+        raw sampler rows — any integer table works).
+
+        ``mode="auto"`` picks the measured-fastest exact path per
+        backbone (scripts/bench_media_ingest.py, upload-inclusive on
+        v5e): pair-embed dedup for Swin (2.90x vs naive; its large
+        56x56x128 patch embed is worth deduping), plain frame-bank
+        gather for ViT (2.82x; its smaller embed loses to the extra
+        bank reshuffle)."""
         from tim_tpu.extract.dense_media import (
             build_clip_plan, extract_dense_visual)
         from tim_tpu.extract.pipeline import extract_features_for_video
 
+        if mode == "auto":
+            from tim_tpu.models.backbones.swin3d import SwinTransformer3D
+            mode = ("pair_embed"
+                    if isinstance(visual_model, SwinTransformer3D)
+                    else "gather")
         plan = build_clip_plan(np.asarray(clip_frames), tubelet=tubelet)
         v_feats = extract_dense_visual(
             visual_model, visual_variables, frames[plan.unique_frames],
