@@ -153,6 +153,37 @@ def test_ap_fuzz_matches_reference(seed, n_gt, n_pred):
     np.testing.assert_allclose(got, want, atol=1e-9)
 
 
+def test_ap_zero_length_pair_matches_reference():
+    """Degenerate zero-length prediction on zero-length GT: IoU = 0/0 =
+    NaN, and the reference's walk does NOT break on NaN (`NaN < thr` is
+    False) so it credits a true positive. The vectorized gate must use
+    the same negated condition (caught round 5: `iou >= thr` silently
+    turned these into false positives)."""
+    pd = pytest.importorskip("pandas")
+    ref = _load_ref("/root/reference/detection/eval_detection/"
+                    "evaluate_detection_json_ek100.py", "ref_eval_nan")
+
+    vids = np.asarray(["v0", "v0"], object)
+    gs = np.asarray([5.0, 10.0])
+    ge = np.asarray([5.0, 12.0])          # first GT is zero-length
+    pv = np.asarray(["v0", "v0", "v0"], object)
+    ps = np.asarray([5.0, 10.5, 20.0])
+    pe = np.asarray([5.0, 11.5, 21.0])    # first pred zero-length on GT
+    scores = np.asarray([0.9, 0.8, 0.7])
+
+    tious = np.linspace(0.1, 0.5, 5)
+    gt_df = pd.DataFrame({"video-id": vids, "t-start": gs, "t-end": ge,
+                          "narration": ["n0", "n1"]})
+    pred_df = pd.DataFrame({"video-id": pv, "t-start": ps, "t-end": pe,
+                            "score": scores, "verb": 0, "noun": 0})
+    want, _ = ref.compute_average_precision_detection(gt_df, pred_df,
+                                                      tious)
+    got = compute_average_precision_detection(
+        vids, np.stack([gs, ge], -1), pv, np.stack([ps, pe], -1), scores,
+        tious)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
 def test_interpolated_prec_rec_matches_reference():
     ref = _load_ref("/root/reference/detection/eval_detection/"
                     "evaluate_detection_json_ek100.py", "ref_eval2")

@@ -88,13 +88,24 @@ def compute_average_precision_detection(
         inter = np.clip(hi - lo, 0.0, None)
         union = ((gts[:, 1] - gts[:, 0])[None, :]
                  + (segs[:, 1] - segs[:, 0])[:, None] - inter)
-        iou = inter.astype(float) / union
-        by_iou = np.argsort(-iou, axis=1, kind="stable")
+        with np.errstate(divide="ignore", invalid="ignore"):
+            iou = inter.astype(float) / union  # 0/0 -> NaN, like the ref
+        # EXACTLY the reference's `tiou_arr.argsort()[::-1]` per row:
+        # ascending-then-reverse puts NaN FIRST (so the walk sees it and
+        # `NaN < thr` does not break — a zero-length prediction on a
+        # zero-length GT is a true positive there) and reverses tie
+        # order the same way
+        by_iou = np.argsort(iou, axis=1)[:, ::-1]
         iou_sorted = np.take_along_axis(iou, by_iou, axis=1)
         n_gt = iou.shape[1]
         for t, thr in enumerate(tiou_thresholds):
             locked = np.zeros(n_gt, bool)
-            for r in np.flatnonzero(iou_sorted[:, 0] >= thr):
+            # gate must be the NEGATION of the walk's break condition
+            # (`iou < thr`), not `iou >= thr`: a NaN IoU (zero-length
+            # prediction on zero-length GT — 0/0) fails both `<` and
+            # `>=`, and the reference's per-prediction loop therefore
+            # does NOT break on it and credits a true positive
+            for r in np.flatnonzero(~(iou_sorted[:, 0] < thr)):
                 row_iou = iou_sorted[r]
                 row_gt = by_iou[r]
                 for k in range(n_gt):

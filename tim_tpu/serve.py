@@ -364,8 +364,9 @@ class DetectionServer:
         frame pair is patch-embedded once (``extract/dense_media.py`` —
         exact, ~5x less host->device traffic at the reference's 0.2 s
         feature hop, ``make_framepickle.py:37-38``). ``clip_frames``
-        indexes rows of ``frames`` (use ``build_clip_plan`` outputs or
-        raw sampler rows — any integer table works).
+        holds 0-BASED row indices into ``frames`` (rebase 1-based
+        sampler output such as ``omnivore_frame_indices`` rows with
+        ``table - table.min()`` first; out-of-range indices raise).
 
         ``mode="auto"`` picks the measured-fastest exact path per
         backbone (scripts/bench_media_ingest.py, upload-inclusive on
@@ -382,7 +383,14 @@ class DetectionServer:
             mode = ("pair_embed"
                     if isinstance(visual_model, SwinTransformer3D)
                     else "gather")
-        plan = build_clip_plan(np.asarray(clip_frames), tubelet=tubelet)
+        clip_frames = np.asarray(clip_frames)
+        if clip_frames.min() < 0 or clip_frames.max() >= len(frames):
+            raise ValueError(
+                f"clip_frames must be 0-based indices into frames "
+                f"[0, {len(frames)}); got range "
+                f"[{clip_frames.min()}, {clip_frames.max()}] — rebase "
+                f"1-based sampler rows with `table - table.min()`")
+        plan = build_clip_plan(clip_frames, tubelet=tubelet)
         v_feats = extract_dense_visual(
             visual_model, visual_variables, frames[plan.unique_frames],
             plan, batch_size=extract_batch, mode=mode)

@@ -160,9 +160,10 @@ def stage_shape_check(gate, cfg, variables, info) -> bool:
             missing.append(name)
         elif tuple(np.shape(got[path])) != tuple(leaf.shape):
             bad.append(f"{name} {np.shape(got[path])}!={tuple(leaf.shape)}")
+    ref_paths = {path for path, _ in ref_flat}
     extra = [jax.tree_util.keystr(p) for p, _ in
              jax.tree_util.tree_leaves_with_path(variables["params"])
-             if p not in dict(ref_flat)]
+             if p not in ref_paths]
     ok = not (missing or bad or extra)
     gate.report("convert", ok,
                 f"{len(ref_flat)} leaves"
@@ -263,20 +264,30 @@ def stage_reference_parity(gate, sd, info, cfg, variables, nhead):
                     f"{str(e)[:200]}")
         return
 
-    jmodel = (TimDetection(cfg) if info["task"] == "detection"
-              else TimRecognition(cfg))
-    out = jmodel.apply(variables, v, a, times, nv, na, deterministic=True)
-    if info["task"] == "recognition":
-        logits = [x for x in out[0] if x is not None]
-    else:
-        j_cls, j_reg, _ = out
-        logits = ([x for x in j_cls[2:] if x is not None]
-                  + [x for x in j_reg if x is not None and x.size])
-    worst = 0.0
-    for got, want in zip(logits, ref_logits):
-        d = np.abs(np.asarray(got, np.float64).reshape(want.shape)
-                   - want.detach().numpy().astype(np.float64)).max()
-        worst = max(worst, float(d))
+    # the flax side gets the same per-stage FAIL treatment as the
+    # reference side: a shape/size mismatch (e.g. a differently-pooled
+    # head) must print "parity FAIL", not crash the gate
+    try:
+        jmodel = (TimDetection(cfg) if info["task"] == "detection"
+                  else TimRecognition(cfg))
+        out = jmodel.apply(variables, v, a, times, nv, na,
+                           deterministic=True)
+        if info["task"] == "recognition":
+            logits = [x for x in out[0] if x is not None]
+        else:
+            j_cls, j_reg, _ = out
+            logits = ([x for x in j_cls[2:] if x is not None]
+                      + [x for x in j_reg if x is not None and x.size])
+        worst = 0.0
+        for got, want in zip(logits, ref_logits):
+            d = np.abs(np.asarray(got, np.float64).reshape(want.shape)
+                       - want.detach().numpy().astype(np.float64)).max()
+            worst = max(worst, float(d))
+    except Exception as e:
+        gate.report("parity", False,
+                    f"flax comparison failed: {type(e).__name__}: "
+                    f"{str(e)[:200]}")
+        return
     gate.report("parity", worst <= 2e-4 and len(logits) == len(ref_logits),
                 f"max |logit d| {worst:.2e} over {len(logits)} heads "
                 f"(tol 2e-4)")
