@@ -291,3 +291,71 @@ def test_detect_video_frames_matches_media():
             audio_specs=specs, audio_extractor=ax,
             extract_batch=8, score_threshold=0.01)
     assert seen_modes == ["pair_embed"], seen_modes
+
+
+def test_detect_video_frames_multi_backbone_concat():
+    """Production EPIC visual features are a concat of two backbones
+    (Omnivore || VideoMAE, merge_features.py:80-83): a sequence of
+    (model, variables, clip_frames) — different clip lengths over the
+    same frame bank — must equal extracting each separately and
+    concatenating before detect_video."""
+    from tim_tpu.models.backbones.vit import VideoMAEViT
+    from tim_tpu.extract.dense_media import (build_clip_plan,
+                                             extract_dense_visual)
+
+    cfg = C.DetectionConfig(
+        visual_classes=(4,), audio_classes=3,
+        visual_input_dim=16, audio_input_dim=12, d_model=16, nhead=2,
+        num_layers=1, num_feats=6, compute_dtype="float32",
+        inference_query_size=0.2)
+    nq = generate_query_pyramid(cfg.inference_query_size).shape[0]
+    model = TimDetection(cfg)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(
+        {"params": rng, "dropout": rng}, jnp.zeros((1, 6, 16)),
+        jnp.zeros((1, 6, 12)), jnp.zeros((1, 12 + 2 * nq, 2)), nq, nq,
+        deterministic=True)["params"]
+    server = DetectionServer(cfg, params, feat_stride=2, feat_gap=0.2,
+                             batch_size=4)
+
+    duration, nfeat = 8.0, 30
+    starts = np.linspace(0, duration - 1.1, nfeat).astype(np.float32)
+    ft = np.stack([starts, starts + 1.1], -1)
+    # backbone A: 16-frame clips; backbone B: 8-frame clips, same bank
+    table_a = np.stack([np.arange(t * 2, t * 2 + 16)
+                        for t in range(nfeat)])
+    table_b = np.stack([np.arange(t * 2, t * 2 + 8) for t in range(nfeat)])
+    rnd = np.random.default_rng(5)
+    frames = rnd.normal(size=(table_a.max() + 1, 16, 16, 3)) \
+        .astype(np.float32) * 0.1
+    specs = rnd.normal(size=(nfeat, 16, 8)).astype(np.float32)
+    wa = jnp.asarray(rnd.normal(size=(16 * 8, 12)) * 0.05, jnp.float32)
+    ax = jax.jit(lambda s: jnp.dot(s.reshape(s.shape[0], -1), wa))
+
+    kw = dict(img_size=16, patch_size=8, embed_dim=8, depth=1,
+              num_heads=2, tubelet_size=2)
+    vit_a = VideoMAEViT(num_frames=16, **kw)
+    vit_b = VideoMAEViT(num_frames=8, **kw)
+    var_a = jax.jit(vit_a.init)(rng, jnp.asarray(frames[table_a[:1]]))
+    var_b = jax.jit(vit_b.init)(rng, jnp.asarray(frames[table_b[:1]]))
+
+    got = server.detect_video_frames(
+        frames, [table_a, table_b], ft, duration,
+        visual_model=[vit_a, vit_b], visual_variables=[var_a, var_b],
+        audio_specs=specs, audio_extractor=ax,
+        extract_batch=8, score_threshold=0.01)
+
+    feats = []
+    for m, var, table in ((vit_a, var_a, table_a), (vit_b, var_b, table_b)):
+        plan = build_clip_plan(table, tubelet=2)
+        feats.append(extract_dense_visual(
+            m, var, frames[plan.unique_frames], plan, batch_size=8,
+            mode="gather"))
+    v = np.concatenate(feats, axis=-1)
+    a = np.asarray(ax(jnp.asarray(specs)))
+    want = server.detect_video(v, a, ft, duration, score_threshold=0.01)
+    assert len(want["scores"]) > 0
+    np.testing.assert_allclose(got["segments"], want["segments"],
+                               atol=1e-5)
+    np.testing.assert_allclose(got["scores"], want["scores"], atol=1e-5)
+    np.testing.assert_array_equal(got["labels"], want["labels"])

@@ -349,8 +349,8 @@ class DetectionServer:
         feat_times: np.ndarray,              # [T, >=2]
         duration: float,
         *,
-        visual_model,                        # backbone nn.Module
-        visual_variables,
+        visual_model,                        # nn.Module or sequence
+        visual_variables,                    # (sequence if model is one)
         audio_specs: Optional[np.ndarray] = None,
         audio_extractor=None,
         extract_batch: int = 8,
@@ -373,27 +373,57 @@ class DetectionServer:
         v5e): pair-embed dedup for Swin (2.90x vs naive; its large
         56x56x128 patch embed is worth deduping), plain frame-bank
         gather for ViT (2.82x; its smaller embed loses to the extra
-        bank reshuffle)."""
+        bank reshuffle).
+
+        Production EPIC visual features are a CONCAT of two backbones
+        (Omnivore 1024 ‖ VideoMAE 1024, ``merge_features.py:80-83``):
+        pass sequences for ``visual_model`` / ``visual_variables`` /
+        ``clip_frames`` (one frame table per backbone — they sample
+        different clip lengths from the same frame bank) and the
+        per-backbone features concatenate along the feature axis in
+        list order."""
         from tim_tpu.extract.dense_media import (
             build_clip_plan, extract_dense_visual)
         from tim_tpu.extract.pipeline import extract_features_for_video
+        from tim_tpu.models.backbones.swin3d import SwinTransformer3D
 
-        if mode == "auto":
-            from tim_tpu.models.backbones.swin3d import SwinTransformer3D
-            mode = ("pair_embed"
-                    if isinstance(visual_model, SwinTransformer3D)
-                    else "gather")
-        clip_frames = np.asarray(clip_frames)
-        if clip_frames.min() < 0 or clip_frames.max() >= len(frames):
+        models = (list(visual_model)
+                  if isinstance(visual_model, (list, tuple))
+                  else [visual_model])
+        variables = (list(visual_variables)
+                     if isinstance(visual_model, (list, tuple))
+                     else [visual_variables])
+        tables = (list(clip_frames)
+                  if isinstance(clip_frames, (list, tuple))
+                  else [clip_frames] * len(models))
+        if not (len(models) == len(variables) == len(tables)):
             raise ValueError(
-                f"clip_frames must be 0-based indices into frames "
-                f"[0, {len(frames)}); got range "
-                f"[{clip_frames.min()}, {clip_frames.max()}] — rebase "
-                f"1-based sampler rows with `table - table.min()`")
-        plan = build_clip_plan(clip_frames, tubelet=tubelet)
-        v_feats = extract_dense_visual(
-            visual_model, visual_variables, frames[plan.unique_frames],
-            plan, batch_size=extract_batch, mode=mode)
+                f"visual_model/visual_variables/clip_frames lengths "
+                f"differ: {len(models)}/{len(variables)}/{len(tables)}")
+
+        parts = []
+        for m, var, table in zip(models, variables, tables):
+            bmode = mode
+            if bmode == "auto":
+                bmode = ("pair_embed"
+                         if isinstance(m, SwinTransformer3D) else "gather")
+            table = np.asarray(table)
+            if table.min() < 0 or table.max() >= len(frames):
+                raise ValueError(
+                    f"clip_frames must be 0-based indices into frames "
+                    f"[0, {len(frames)}); got range "
+                    f"[{table.min()}, {table.max()}] — rebase 1-based "
+                    f"sampler rows with `table - table.min()`")
+            plan = build_clip_plan(table, tubelet=tubelet)
+            parts.append(extract_dense_visual(
+                m, var, frames[plan.unique_frames], plan,
+                batch_size=extract_batch, mode=bmode))
+        if len({len(p) for p in parts}) > 1:
+            raise ValueError(
+                f"backbone frame tables produced different timestep "
+                f"counts: {[len(p) for p in parts]}")
+        v_feats = (parts[0] if len(parts) == 1
+                   else np.concatenate(parts, axis=-1))
         a_feats = None
         if audio_specs is not None:
             assert audio_extractor is not None, \
