@@ -31,6 +31,11 @@ def main():
                     help="video seconds (50 fps synthetic frames)")
     ap.add_argument("--iters", type=int, default=1)
     ap.add_argument("--extract_batch", type=int, default=8)
+    ap.add_argument("--top_k", type=int, default=0,
+                    help="serve with on-device top-k score dumps "
+                         "(avoids the dense [B, nq, 3806] download per "
+                         "window; byte-identical when every "
+                         "above-threshold class fits in k)")
     ap.add_argument("--tiny", action="store_true", help="CPU smoke")
     args = ap.parse_args()
 
@@ -123,6 +128,8 @@ def main():
         jnp.zeros((1, nf, dcfg.audio_input_dim)),
         jnp.zeros((1, 2 * nf + 2 * nq, 2)), nq, nq,
         deterministic=True)["params"]
+    if args.top_k:
+        server_kw["top_k"] = args.top_k
     server = DetectionServer(dcfg, params, **server_kw)
 
     def run():
