@@ -112,3 +112,31 @@ def test_vit_embedded_batch_independence():
     one = model.apply(variables, emb[1:2], embedded=True)
     np.testing.assert_allclose(np.asarray(full[1:2]), np.asarray(one),
                                atol=1e-6, rtol=1e-6)
+
+
+def test_scan_dispatch_matches_per_batch():
+    """Single-dispatch (lax.map over chunks, one fetch) == per-batch
+    dispatch for both bank modes, including ragged tails."""
+    import jax
+    import jax.numpy as jnp
+    from tim_tpu.extract.dense_media import (build_clip_plan,
+                                             extract_dense_visual)
+    from tim_tpu.models.backbones.vit import VideoMAEViT
+
+    table = np.stack([np.arange(t, t + 16) for t in range(7)])  # 7 % 2 != 0
+    plan = build_clip_plan(table, tubelet=2)
+    vit = VideoMAEViT(img_size=16, patch_size=8, embed_dim=16, depth=1,
+                      num_heads=2, num_frames=16, tubelet_size=2)
+    rnd = np.random.default_rng(0)
+    frames = rnd.normal(size=(len(plan.unique_frames), 16, 16, 3)) \
+        .astype(np.float32) * 0.1
+    var = jax.jit(vit.init)(jax.random.PRNGKey(0),
+                            jnp.asarray(frames[plan.clip_idx[:1]]))
+    for mode in ("gather", "pair_embed"):
+        a = extract_dense_visual(vit, var, frames, plan, batch_size=2,
+                                 embed_batch=8, mode=mode,
+                                 dispatch="per_batch")
+        b = extract_dense_visual(vit, var, frames, plan, batch_size=2,
+                                 embed_batch=8, mode=mode,
+                                 dispatch="scan")
+        np.testing.assert_allclose(a, b, atol=1e-6, err_msg=mode)

@@ -141,6 +141,58 @@ def _jit_trunk(model, kw_items):
     return trunk
 
 
+# Single-dispatch variants: the WHOLE per-video extraction is one jit
+# call — jax.lax.map over [n_chunks, batch] index chunks with the frame
+# bank resident in HBM, features fetched once as [n_chunks, batch, D].
+# Removes the per-batch dispatch+fetch round-trips (~30 ms relay RTT
+# each, CLAUDE.md) that dominate the per-batch path on this host; math
+# and batch grouping are identical.
+@functools.lru_cache(maxsize=32)
+def _jit_gather_scan(model, kw_items):
+    import jax
+
+    @jax.jit
+    def fwd(variables, bank, idx_chunks):        # [Nc, B, F]
+        def body(idx):
+            return model.apply(variables, bank[idx], **dict(kw_items))
+        return jax.lax.map(body, idx_chunks)
+    return fwd
+
+
+@functools.lru_cache(maxsize=32)
+def _jit_embed_scan(model, kw_items):
+    import jax
+
+    @jax.jit
+    def embed(variables, bank, pidx_chunks):     # [Nc, B, pt]
+        def body(pidx):
+            out = model.apply(variables, bank[pidx], embed_only=True,
+                              **dict(kw_items))
+            return out[:, 0]
+        return jax.lax.map(body, pidx_chunks)
+    return embed
+
+
+@functools.lru_cache(maxsize=32)
+def _jit_trunk_scan(model, kw_items):
+    import jax
+
+    @jax.jit
+    def trunk(variables, bank, pidx_chunks):     # [Nc, B, F/pt]
+        def body(pidx):
+            return model.apply(variables, bank[pidx], embedded=True,
+                               **dict(kw_items))
+        return jax.lax.map(body, pidx_chunks)
+    return trunk
+
+
+def _chunk_rows(x: np.ndarray, batch: int) -> np.ndarray:
+    """[N, ...] -> [ceil(N/batch), batch, ...] (last chunk padded by
+    repeating the final row — same padding as ``_pad_rows``)."""
+    x = _pad_rows(x, batch)
+    return x.reshape(len(x) // batch, batch, *x.shape[1:])
+
+
 def extract_dense_visual(
     model,
     variables,
@@ -151,6 +203,7 @@ def extract_dense_visual(
     mode: str = "pair_embed",    # "pair_embed" | "gather" | "naive"
     embed_batch: int = 64,
     pad_batches: bool = True,
+    dispatch: str = "per_batch",  # "per_batch" | "scan"
     apply_kwargs: Optional[dict] = None,
 ) -> np.ndarray:
     """[T, D] features for every timestep clip, computed overlap-aware.
@@ -162,12 +215,24 @@ def extract_dense_visual(
     embed conv has no cross-pair coupling (tested vs the naive path).
     ``naive``: assemble clips on the HOST and upload each in full (the
     detect_video_media behavior) — the A/B baseline.
+
+    ``dispatch="scan"`` runs the whole extraction as ONE jit call per
+    stage (``lax.map`` over batch chunks, single fetch) instead of one
+    dispatch+fetch per batch — same batches, same math. Measured
+    NEUTRAL-to-slightly-negative end-to-end (37.1 vs 35.3 s serve run):
+    jax's async dispatch already overlaps each batch's fetch with the
+    next batch's compute, so the per-call round-trips the scan removes
+    were not on the critical path. Kept opt-in; ``naive`` always
+    dispatches per batch (its clips upload from host).
     """
     import jax
     import jax.numpy as jnp
 
     kw = apply_kwargs or {}
     kw_items = tuple(sorted(kw.items()))
+    if dispatch not in ("scan", "per_batch"):
+        raise ValueError(f"unknown dispatch {dispatch!r}")
+    scan = dispatch == "scan"
     t = len(plan.clip_idx)
     feats = []
 
@@ -184,6 +249,11 @@ def extract_dense_visual(
     dev_frames = jnp.asarray(frames)
 
     if mode == "gather":
+        if scan:
+            out = _jit_gather_scan(model, kw_items)(
+                variables, dev_frames,
+                jnp.asarray(_chunk_rows(plan.clip_idx, batch_size)))
+            return np.asarray(out).reshape(-1, *out.shape[2:])[:t]
         fwd = _jit_gather_full(model, kw_items)
         idx = _pad_rows(plan.clip_idx, batch_size) if pad_batches \
             else plan.clip_idx
@@ -197,6 +267,17 @@ def extract_dense_visual(
         raise ValueError(f"unknown mode {mode!r}")
 
     # [b, pt, H, W, 3] -> [b, 1, h, w, C] -> [b, h, w, C] pair embeds
+    if scan:
+        chunks = _jit_embed_scan(model, kw_items)(
+            variables, dev_frames,
+            jnp.asarray(_chunk_rows(plan.pairs, embed_batch)))
+        embed_bank = chunks.reshape(-1, *chunks.shape[2:])[
+            :len(plan.pairs)]
+        out = _jit_trunk_scan(model, kw_items)(
+            variables, embed_bank,
+            jnp.asarray(_chunk_rows(plan.pair_idx, batch_size)))
+        return np.asarray(out).reshape(-1, *out.shape[2:])[:t]
+
     embed = _jit_embed(model, kw_items)
     prows = _pad_rows(plan.pairs, embed_batch)
     embeds = []
