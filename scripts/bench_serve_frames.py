@@ -36,6 +36,9 @@ def main():
                          "(avoids the dense [B, nq, 3806] download per "
                          "window; byte-identical when every "
                          "above-threshold class fits in k)")
+    ap.add_argument("--uint8", action="store_true",
+                    help="ship the frame bank as uint8 + on-device "
+                         "normalize (halves H2D bytes vs bf16)")
     ap.add_argument("--tiny", action="store_true", help="CPU smoke")
     args = ap.parse_args()
 
@@ -90,9 +93,17 @@ def main():
     table_swin = clip_table(n_steps, 32, fps=fps)
     table_vit = clip_table(n_steps, 16, fps=fps)
     n_frames = int(max(table_swin.max(), table_vit.max())) + 1
-    dt_frames = jnp.bfloat16 if not args.tiny else jnp.float32
-    frames = (rnd.normal(size=(n_frames, res, res, 3)) * 0.1) \
-        .astype(dt_frames)
+    frame_transform = None
+    if args.uint8:
+        from tim_tpu.extract.dense_media import uint8_normalizer
+        frame_transform = uint8_normalizer(
+            dtype="float32" if args.tiny else "bfloat16")
+        frames = rnd.integers(0, 256, (n_frames, res, res, 3)) \
+            .astype(np.uint8)
+    else:
+        dt_frames = jnp.bfloat16 if not args.tiny else jnp.float32
+        frames = (rnd.normal(size=(n_frames, res, res, 3)) * 0.1) \
+            .astype(dt_frames)
     specs = (rnd.normal(size=(n_steps,) + spec_shape) * 0.1) \
         .astype(np.float32)
     starts = (np.arange(n_steps) * 0.2).astype(np.float32)
@@ -102,10 +113,12 @@ def main():
           f"{n_frames} unique frames ({mb:.0f} MB bank), "
           f"{specs.nbytes / 1e6:.0f} MB specs", flush=True)
 
-    sv = jax.jit(swin.init)(rng, jnp.asarray(
-        frames[table_swin[:1]], dt_frames))
-    vv = jax.jit(vit.init)(rng, jnp.asarray(
-        frames[table_vit[:1]], dt_frames))
+    def init_clip(table):
+        c = jnp.asarray(frames[table[:1]])
+        return frame_transform(c) if frame_transform is not None else c
+
+    sv = jax.jit(swin.init)(rng, init_clip(table_swin))
+    vv = jax.jit(vit.init)(rng, init_clip(table_vit))
     slow0, fast0 = pack_pathways(
         jnp.asarray(specs[:1, ..., None]), alpha=4)
     av = jax.jit(functools.partial(asf.init, train=False))(
@@ -137,7 +150,8 @@ def main():
             frames, [table_swin, table_vit], feat_times, args.duration,
             visual_model=[swin, vit], visual_variables=[sv, vv],
             audio_specs=specs, audio_extractor=audio_extractor,
-            extract_batch=args.extract_batch)
+            extract_batch=args.extract_batch,
+            frame_transform=frame_transform)
 
     dets = run()        # warm: compiles + bank upload path
     t0 = time.perf_counter()

@@ -140,3 +140,37 @@ def test_scan_dispatch_matches_per_batch():
                                  embed_batch=8, mode=mode,
                                  dispatch="scan")
         np.testing.assert_allclose(a, b, atol=1e-6, err_msg=mode)
+
+
+def test_uint8_bank_with_device_normalize_matches_host_normalize():
+    """uint8 frame bank + on-device uint8_normalizer == host-normalized
+    float frames through every mode (the upload-halving production
+    path)."""
+    import jax
+    import jax.numpy as jnp
+    from tim_tpu.extract.dense_media import (
+        build_clip_plan, extract_dense_visual, uint8_normalizer)
+    from tim_tpu.models.backbones.vit import VideoMAEViT
+
+    table = np.stack([np.arange(t, t + 16) for t in range(5)])
+    plan = build_clip_plan(table, tubelet=2)
+    vit = VideoMAEViT(img_size=16, patch_size=8, embed_dim=16, depth=1,
+                      num_heads=2, num_frames=16, tubelet_size=2)
+    rnd = np.random.default_rng(0)
+    raw = rnd.integers(0, 256, (len(plan.unique_frames), 16, 16, 3)) \
+        .astype(np.uint8)
+    tf = uint8_normalizer(dtype="float32")
+    host = np.asarray(
+        (raw.astype(np.float32) / 255.0
+         - np.asarray([0.485, 0.456, 0.406], np.float32))
+        / np.asarray([0.229, 0.224, 0.225], np.float32))
+    var = jax.jit(vit.init)(jax.random.PRNGKey(0),
+                            jnp.asarray(host[plan.clip_idx[:1]]))
+    # same function object back -> jit cache hit across calls
+    assert uint8_normalizer(dtype="float32") is tf
+    for mode in ("naive", "gather", "pair_embed"):
+        want = extract_dense_visual(vit, var, host, plan, batch_size=2,
+                                    mode=mode)
+        got = extract_dense_visual(vit, var, raw, plan, batch_size=2,
+                                   mode=mode, frame_transform=tf)
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=mode)

@@ -98,33 +98,37 @@ def _pad_rows(x: np.ndarray, batch: int) -> np.ndarray:
 # production sweep) reuse the compiled program instead of paying a
 # retrace + relay compile round-trip each time (measured: a fresh
 # @jax.jit per call made the gather path SLOWER than naive).
+def _ident(x):
+    return x
+
+
 @functools.lru_cache(maxsize=32)
-def _jit_full(model, kw_items):
+def _jit_full(model, kw_items, tf=_ident):
     import jax
 
     @jax.jit
     def fwd(variables, clips):
-        return model.apply(variables, clips, **dict(kw_items))
+        return model.apply(variables, tf(clips), **dict(kw_items))
     return fwd
 
 
 @functools.lru_cache(maxsize=32)
-def _jit_gather_full(model, kw_items):
+def _jit_gather_full(model, kw_items, tf=_ident):
     import jax
 
     @jax.jit
     def fwd(variables, bank, idx):
-        return model.apply(variables, bank[idx], **dict(kw_items))
+        return model.apply(variables, tf(bank[idx]), **dict(kw_items))
     return fwd
 
 
 @functools.lru_cache(maxsize=32)
-def _jit_embed(model, kw_items):
+def _jit_embed(model, kw_items, tf=_ident):
     import jax
 
     @jax.jit
     def embed(variables, bank, pidx):
-        out = model.apply(variables, bank[pidx], embed_only=True,
+        out = model.apply(variables, tf(bank[pidx]), embed_only=True,
                           **dict(kw_items))
         return out[:, 0]
     return embed
@@ -148,26 +152,27 @@ def _jit_trunk(model, kw_items):
 # each, CLAUDE.md) that dominate the per-batch path on this host; math
 # and batch grouping are identical.
 @functools.lru_cache(maxsize=32)
-def _jit_gather_scan(model, kw_items):
+def _jit_gather_scan(model, kw_items, tf=_ident):
     import jax
 
     @jax.jit
     def fwd(variables, bank, idx_chunks):        # [Nc, B, F]
         def body(idx):
-            return model.apply(variables, bank[idx], **dict(kw_items))
+            return model.apply(variables, tf(bank[idx]),
+                               **dict(kw_items))
         return jax.lax.map(body, idx_chunks)
     return fwd
 
 
 @functools.lru_cache(maxsize=32)
-def _jit_embed_scan(model, kw_items):
+def _jit_embed_scan(model, kw_items, tf=_ident):
     import jax
 
     @jax.jit
     def embed(variables, bank, pidx_chunks):     # [Nc, B, pt]
         def body(pidx):
-            out = model.apply(variables, bank[pidx], embed_only=True,
-                              **dict(kw_items))
+            out = model.apply(variables, tf(bank[pidx]),
+                              embed_only=True, **dict(kw_items))
             return out[:, 0]
         return jax.lax.map(body, pidx_chunks)
     return embed
@@ -193,6 +198,28 @@ def _chunk_rows(x: np.ndarray, batch: int) -> np.ndarray:
     return x.reshape(len(x) // batch, batch, *x.shape[1:])
 
 
+@functools.lru_cache(maxsize=8)
+def uint8_normalizer(mean: tuple = (0.485, 0.456, 0.406),
+                     std: tuple = (0.229, 0.224, 0.225),
+                     dtype: str = "bfloat16") -> Callable:
+    """``frame_transform`` for uint8 frame banks: /255, ImageNet
+    normalize, cast — on device. Ship the bank as uint8 and this halves
+    the host->device bytes vs bf16 (4x vs fp32) on the bandwidth-bound
+    dense path; the normalize fuses into the backbone's first conv.
+    lru-cached so repeated calls return the SAME function object (the
+    jitted appliers key their cache on transform identity)."""
+    import jax.numpy as jnp
+
+    m = np.asarray(mean, np.float32)
+    s = np.asarray(std, np.float32)
+
+    def tf(clips):
+        x = clips.astype(jnp.float32) / 255.0
+        x = (x - m) / s
+        return x.astype(jnp.dtype(dtype))
+    return tf
+
+
 def extract_dense_visual(
     model,
     variables,
@@ -204,6 +231,7 @@ def extract_dense_visual(
     embed_batch: int = 64,
     pad_batches: bool = True,
     dispatch: str = "per_batch",  # "per_batch" | "scan"
+    frame_transform: Optional[Callable] = None,
     apply_kwargs: Optional[dict] = None,
 ) -> np.ndarray:
     """[T, D] features for every timestep clip, computed overlap-aware.
@@ -224,12 +252,21 @@ def extract_dense_visual(
     next batch's compute, so the per-call round-trips the scan removes
     were not on the critical path. Kept opt-in; ``naive`` always
     dispatches per batch (its clips upload from host).
+
+    ``frame_transform`` (a jittable fn on [..., H, W, 3] clips) runs
+    ON DEVICE after the bank gather / clip upload, before the backbone.
+    The production use is shipping the frame bank as uint8 and
+    normalizing device-side — the path is host->device-bandwidth-bound
+    (docs/PERFORMANCE.md), so halving the uploaded bytes is the lever,
+    and normalization is a fused elementwise epilogue on TPU. Must be a
+    stable (module-level) function so the jit cache keys on identity.
     """
     import jax
     import jax.numpy as jnp
 
     kw = apply_kwargs or {}
     kw_items = tuple(sorted(kw.items()))
+    tf = frame_transform if frame_transform is not None else _ident
     if dispatch not in ("scan", "per_batch"):
         raise ValueError(f"unknown dispatch {dispatch!r}")
     scan = dispatch == "scan"
@@ -238,7 +275,7 @@ def extract_dense_visual(
 
     if mode == "naive":
         host_frames = np.asarray(frames)
-        fwd = _jit_full(model, kw_items)
+        fwd = _jit_full(model, kw_items, tf)
         idx = _pad_rows(plan.clip_idx, batch_size) if pad_batches \
             else plan.clip_idx
         for i in range(0, len(idx), batch_size):
@@ -250,11 +287,11 @@ def extract_dense_visual(
 
     if mode == "gather":
         if scan:
-            out = _jit_gather_scan(model, kw_items)(
+            out = _jit_gather_scan(model, kw_items, tf)(
                 variables, dev_frames,
                 jnp.asarray(_chunk_rows(plan.clip_idx, batch_size)))
             return np.asarray(out).reshape(-1, *out.shape[2:])[:t]
-        fwd = _jit_gather_full(model, kw_items)
+        fwd = _jit_gather_full(model, kw_items, tf)
         idx = _pad_rows(plan.clip_idx, batch_size) if pad_batches \
             else plan.clip_idx
         for i in range(0, len(idx), batch_size):
@@ -268,7 +305,7 @@ def extract_dense_visual(
 
     # [b, pt, H, W, 3] -> [b, 1, h, w, C] -> [b, h, w, C] pair embeds
     if scan:
-        chunks = _jit_embed_scan(model, kw_items)(
+        chunks = _jit_embed_scan(model, kw_items, tf)(
             variables, dev_frames,
             jnp.asarray(_chunk_rows(plan.pairs, embed_batch)))
         embed_bank = chunks.reshape(-1, *chunks.shape[2:])[
@@ -278,7 +315,7 @@ def extract_dense_visual(
             jnp.asarray(_chunk_rows(plan.pair_idx, batch_size)))
         return np.asarray(out).reshape(-1, *out.shape[2:])[:t]
 
-    embed = _jit_embed(model, kw_items)
+    embed = _jit_embed(model, kw_items, tf)
     prows = _pad_rows(plan.pairs, embed_batch)
     embeds = []
     for i in range(0, len(prows), embed_batch):

@@ -356,6 +356,7 @@ class DetectionServer:
         extract_batch: int = 8,
         mode: str = "auto",
         tubelet: int = 2,
+        frame_transform=None,                # on-device, after gather
         **detect_kwargs,
     ) -> Dict[str, np.ndarray]:
         """Overlap-aware raw-media serving: ``detect_video_media`` minus
@@ -381,7 +382,12 @@ class DetectionServer:
         ``clip_frames`` (one frame table per backbone — they sample
         different clip lengths from the same frame bank) and the
         per-backbone features concatenate along the feature axis in
-        list order."""
+        list order.
+
+        Ship ``frames`` as uint8 with
+        ``frame_transform=dense_media.uint8_normalizer()`` to halve the
+        host->device bytes (the dense path is upload-bandwidth-bound);
+        normalization runs on device after the bank gather."""
         from tim_tpu.extract.dense_media import (
             build_clip_plan, extract_dense_visual)
         from tim_tpu.extract.pipeline import extract_features_for_video
@@ -417,7 +423,8 @@ class DetectionServer:
             plan = build_clip_plan(table, tubelet=tubelet)
             parts.append(extract_dense_visual(
                 m, var, frames[plan.unique_frames], plan,
-                batch_size=extract_batch, mode=bmode))
+                batch_size=extract_batch, mode=bmode,
+                frame_transform=frame_transform))
         if len({len(p) for p in parts}) > 1:
             raise ValueError(
                 f"backbone frame tables produced different timestep "
