@@ -36,6 +36,9 @@ def main():
                          "(avoids the dense [B, nq, 3806] download per "
                          "window; byte-identical when every "
                          "above-threshold class fits in k)")
+    ap.add_argument("--mode", default="auto",
+                    help="extraction mode for all backbones "
+                         "(auto | gather | pair_embed | stream)")
     ap.add_argument("--uint8", action="store_true",
                     help="ship the frame bank as uint8 + on-device "
                          "normalize (halves H2D bytes vs bf16)")
@@ -150,7 +153,7 @@ def main():
             frames, [table_swin, table_vit], feat_times, args.duration,
             visual_model=[swin, vit], visual_variables=[sv, vv],
             audio_specs=specs, audio_extractor=audio_extractor,
-            extract_batch=args.extract_batch,
+            extract_batch=args.extract_batch, mode=args.mode,
             frame_transform=frame_transform)
 
     dets = run()        # warm: compiles + bank upload path

@@ -174,3 +174,36 @@ def test_uint8_bank_with_device_normalize_matches_host_normalize():
         got = extract_dense_visual(vit, var, raw, plan, batch_size=2,
                                    mode=mode, frame_transform=tf)
         np.testing.assert_allclose(got, want, atol=1e-5, err_msg=mode)
+
+
+def test_stream_mode_matches_naive():
+    """Streamed per-batch mini-banks == naive clip path (exact same
+    pixels reach the backbone), incl. a ragged tail and uint8 banks."""
+    import jax
+    import jax.numpy as jnp
+    from tim_tpu.extract.dense_media import (
+        build_clip_plan, extract_dense_visual, uint8_normalizer)
+    from tim_tpu.models.backbones.vit import VideoMAEViT
+
+    table = np.stack([np.arange(t, t + 16) for t in range(7)])
+    plan = build_clip_plan(table, tubelet=2)
+    vit = VideoMAEViT(img_size=16, patch_size=8, embed_dim=16, depth=1,
+                      num_heads=2, num_frames=16, tubelet_size=2)
+    rnd = np.random.default_rng(0)
+    frames = rnd.normal(size=(len(plan.unique_frames), 16, 16, 3)) \
+        .astype(np.float32) * 0.1
+    var = jax.jit(vit.init)(jax.random.PRNGKey(0),
+                            jnp.asarray(frames[plan.clip_idx[:1]]))
+    want = extract_dense_visual(vit, var, frames, plan, batch_size=2,
+                                mode="naive")
+    got = extract_dense_visual(vit, var, frames, plan, batch_size=2,
+                               mode="stream")
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+    raw = rnd.integers(0, 256, frames.shape).astype(np.uint8)
+    tf = uint8_normalizer(dtype="float32")
+    a = extract_dense_visual(vit, var, raw, plan, batch_size=2,
+                             mode="stream", frame_transform=tf)
+    b = extract_dense_visual(vit, var, raw, plan, batch_size=2,
+                             mode="gather", frame_transform=tf)
+    np.testing.assert_allclose(a, b, atol=1e-5)

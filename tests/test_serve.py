@@ -261,7 +261,8 @@ def test_detect_video_frames_matches_media():
             visual_model=vit, visual_variables=variables,
             audio_specs=specs, audio_extractor=ax,
             extract_batch=8, score_threshold=0.01)
-    assert seen_modes == ["gather"], seen_modes  # ViT auto -> gather
+    # auto -> stream (upload overlapped with compute; measured fastest)
+    assert seen_modes == ["stream"], seen_modes
 
     vx = jax.jit(lambda c: vit.apply(variables, c))
     want = server.detect_video_media(
@@ -274,7 +275,7 @@ def test_detect_video_frames_matches_media():
     np.testing.assert_allclose(got["scores"], want["scores"], atol=1e-5)
     np.testing.assert_array_equal(got["labels"], want["labels"])
 
-    # Swin auto -> pair_embed (dispatch only; stubbed extraction)
+    # explicit modes pass through unchanged (dispatch only; stubbed)
     swin = SwinTransformer3D(patch_size=(2, 4, 4), embed_dim=8,
                              depths=(1,), num_heads=(2,),
                              window_size=(2, 3, 3))
@@ -285,12 +286,13 @@ def test_detect_video_frames_matches_media():
         return np.zeros((nfeat, 16), np.float32)
 
     with mock.patch.object(dense_media, "extract_dense_visual", stub):
-        server.detect_video_frames(
-            frames, clip_frames, ft, duration,
-            visual_model=swin, visual_variables=None,
-            audio_specs=specs, audio_extractor=ax,
-            extract_batch=8, score_threshold=0.01)
-    assert seen_modes == ["pair_embed"], seen_modes
+        for m in ("pair_embed", "gather", "auto"):
+            server.detect_video_frames(
+                frames, clip_frames, ft, duration,
+                visual_model=swin, visual_variables=None,
+                audio_specs=specs, audio_extractor=ax,
+                extract_batch=8, mode=m, score_threshold=0.01)
+    assert seen_modes == ["pair_embed", "gather", "stream"], seen_modes
 
 
 def test_detect_video_frames_multi_backbone_concat():

@@ -198,6 +198,23 @@ def _chunk_rows(x: np.ndarray, batch: int) -> np.ndarray:
     return x.reshape(len(x) // batch, batch, *x.shape[1:])
 
 
+def _stream_plan(clip_idx: np.ndarray, batch: int):
+    """Per-batch mini-bank layout for ``mode="stream"``: for each clip
+    batch, the unique frame rows it touches (padded to the max across
+    batches so every call shares one compiled shape) plus rebased
+    [B, F] gather indices into that mini-bank."""
+    idx = _pad_rows(clip_idx, batch)
+    uniqs, invs = [], []
+    for i in range(0, len(idx), batch):
+        u, inv = np.unique(idx[i:i + batch], return_inverse=True)
+        uniqs.append(u)
+        invs.append(inv.reshape(batch, -1).astype(np.int32))
+    cap = max(len(u) for u in uniqs)
+    banks = np.stack([np.concatenate(
+        [u, np.repeat(u[-1:], cap - len(u))]) for u in uniqs])
+    return banks.astype(np.int64), invs
+
+
 @functools.lru_cache(maxsize=8)
 def uint8_normalizer(mean: tuple = (0.485, 0.456, 0.406),
                      std: tuple = (0.229, 0.224, 0.225),
@@ -227,7 +244,7 @@ def extract_dense_visual(
     plan: ClipPlan,
     *,
     batch_size: int = 8,
-    mode: str = "pair_embed",    # "pair_embed" | "gather" | "naive"
+    mode: str = "pair_embed",  # pair_embed | gather | stream | naive
     embed_batch: int = 64,
     pad_batches: bool = True,
     dispatch: str = "per_batch",  # "per_batch" | "scan"
@@ -241,6 +258,10 @@ def extract_dense_visual(
     ``pair_embed``: additionally embeds each unique frame pair once and
     runs the trunk from the gathered pair-embed bank — exact because the
     embed conv has no cross-pair coupling (tested vs the naive path).
+    ``stream``: gather from per-batch MINI-banks uploaded as each batch
+    dispatches, so the next batch's transfer overlaps this batch's
+    compute (vs the serial full-bank upload of ``gather``). Same
+    features; ~25% duplicate boundary bytes.
     ``naive``: assemble clips on the HOST and upload each in full (the
     detect_video_media behavior) — the A/B baseline.
 
@@ -282,6 +303,23 @@ def extract_dense_visual(
             clips = host_frames[idx[i:i + batch_size]]
             feats.append(np.asarray(fwd(variables, jnp.asarray(clips))))
         return np.concatenate(feats)[:t]
+
+    if mode == "stream":
+        # Per-batch mini-banks, uploaded as each batch is dispatched:
+        # jax's async dispatch lets batch k+1's host->device transfer
+        # overlap batch k's compute, hiding the upload behind the
+        # backbone instead of paying one serial full-bank transfer up
+        # front. Slight duplicate bytes at batch boundaries (adjacent
+        # batches share ~1 clip-span of frames); exact same features.
+        host_frames = np.asarray(frames)
+        fwd = _jit_gather_full(model, kw_items, tf)
+        banks, invs = _stream_plan(plan.clip_idx, batch_size)
+        for rows, inv in zip(banks, invs):
+            feats.append(fwd(variables,
+                             jnp.asarray(host_frames[rows]),
+                             jnp.asarray(inv)))
+        return np.concatenate(
+            [np.asarray(f) for f in feats])[:t]
 
     dev_frames = jnp.asarray(frames)
 

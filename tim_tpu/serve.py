@@ -369,12 +369,14 @@ class DetectionServer:
         sampler output such as ``omnivore_frame_indices`` rows with
         ``table - table.min()`` first; out-of-range indices raise).
 
-        ``mode="auto"`` picks the measured-fastest exact path per
-        backbone (scripts/bench_media_ingest.py, upload-inclusive on
-        v5e): pair-embed dedup for Swin (2.90x vs naive; its large
-        56x56x128 patch embed is worth deduping), plain frame-bank
-        gather for ViT (2.82x; its smaller embed loses to the extra
-        bank reshuffle).
+        ``mode="auto"`` uses ``stream`` — per-batch mini-banks whose
+        host->device transfers overlap the previous batch's backbone
+        compute — the measured-fastest serving path (2.30x real time vs
+        1.65x for the up-front bank on the same uint8 run,
+        ``scripts/bench_serve_frames.py``). ``gather``/``pair_embed``
+        (up-front deduped bank, Swin's pair-embed dedup) remain for
+        frames already resident on device or fast links
+        (``scripts/bench_media_ingest.py``).
 
         Production EPIC visual features are a CONCAT of two backbones
         (Omnivore 1024 ‖ VideoMAE 1024, ``merge_features.py:80-83``):
@@ -391,7 +393,6 @@ class DetectionServer:
         from tim_tpu.extract.dense_media import (
             build_clip_plan, extract_dense_visual)
         from tim_tpu.extract.pipeline import extract_features_for_video
-        from tim_tpu.models.backbones.swin3d import SwinTransformer3D
 
         models = (list(visual_model)
                   if isinstance(visual_model, (list, tuple))
@@ -409,10 +410,7 @@ class DetectionServer:
 
         parts = []
         for m, var, table in zip(models, variables, tables):
-            bmode = mode
-            if bmode == "auto":
-                bmode = ("pair_embed"
-                         if isinstance(m, SwinTransformer3D) else "gather")
+            bmode = "stream" if mode == "auto" else mode
             table = np.asarray(table)
             if table.min() < 0 or table.max() >= len(frames):
                 raise ValueError(
