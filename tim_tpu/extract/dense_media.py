@@ -198,21 +198,79 @@ def _chunk_rows(x: np.ndarray, batch: int) -> np.ndarray:
     return x.reshape(len(x) // batch, batch, *x.shape[1:])
 
 
+@dataclasses.dataclass(frozen=True)
+class _StreamStep:
+    """One batch of the incremental stream plan (all fixed-shape).
+
+    new_rows:  [cap_new] global frame rows to UPLOAD this step (only
+               frames not already on device; padded by repetition).
+    idx:       [B, F] gather positions into the step's device bank
+               (= concat(tail, new)).
+    tail_sel:  [cap_tail] positions in this bank of the rows the NEXT
+               step reuses (carried device-to-device, never re-uploaded).
+    """
+
+    new_rows: np.ndarray
+    idx: np.ndarray
+    tail_sel: np.ndarray
+
+
 def _stream_plan(clip_idx: np.ndarray, batch: int):
-    """Per-batch mini-bank layout for ``mode="stream"``: for each clip
-    batch, the unique frame rows it touches (padded to the max across
-    batches so every call shares one compiled shape) plus rebased
-    [B, F] gather indices into that mini-bank."""
+    """Incremental per-batch plan for ``mode="stream"``: each batch's
+    bank is concat(previous tail carried ON DEVICE, newly uploaded
+    rows), so every unique frame crosses host->device exactly once
+    while transfers still overlap compute. Shapes are padded to the
+    max across batches -> one compiled program. Returns
+    (cap_tail, steps)."""
     idx = _pad_rows(clip_idx, batch)
-    uniqs, invs = [], []
-    for i in range(0, len(idx), batch):
-        u, inv = np.unique(idx[i:i + batch], return_inverse=True)
-        uniqs.append(u)
-        invs.append(inv.reshape(batch, -1).astype(np.int32))
-    cap = max(len(u) for u in uniqs)
-    banks = np.stack([np.concatenate(
-        [u, np.repeat(u[-1:], cap - len(u))]) for u in uniqs])
-    return banks.astype(np.int64), invs
+    nb = len(idx) // batch
+    uniq_per = [np.unique(idx[i * batch:(i + 1) * batch])
+                for i in range(nb)]
+    tails, news = [], []
+    prev: set = set()
+    for u in uniq_per:
+        in_prev = np.asarray([r for r in u if r in prev], dtype=u.dtype)
+        tails.append(in_prev)
+        news.append(np.setdiff1d(u, in_prev))
+        prev = set(u.tolist())
+    cap_tail = max((len(t) for t in tails), default=0)
+    cap_new = max(len(n) for n in news)
+
+    steps = []
+    for k in range(nb):
+        pad_row = (tails[k][-1:] if len(tails[k]) else news[k][:1])
+        new_rows = np.concatenate(
+            [news[k], np.repeat(pad_row, cap_new - len(news[k]))])
+        # positions of ACTUAL rows only — padded tail/new slots hold
+        # duplicate (or, at step 0, zero-filled) content and must never
+        # shadow a real row's position
+        pos = {int(r): p for p, r in enumerate(tails[k])}
+        for p, r in enumerate(news[k]):
+            pos[int(r)] = cap_tail + p
+        cur = idx[k * batch:(k + 1) * batch]
+        step_idx = np.vectorize(pos.__getitem__)(cur).astype(np.int32)
+        if k + 1 < nb:
+            nxt = tails[k + 1]
+            sel = np.asarray([pos[r] for r in nxt.tolist()], np.int32)
+            sel = np.concatenate(
+                [sel, np.zeros(cap_tail - len(sel), np.int32)])
+        else:
+            sel = np.zeros((cap_tail,), np.int32)
+        steps.append(_StreamStep(new_rows, step_idx, sel))
+    return cap_tail, steps
+
+
+@functools.lru_cache(maxsize=32)
+def _jit_stream_step(model, kw_items, tf=_ident):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def step(variables, tail, new, idx, tail_sel):
+        bank = jnp.concatenate([tail, new])
+        feats = model.apply(variables, tf(bank[idx]), **dict(kw_items))
+        return feats, bank[tail_sel]
+    return step
 
 
 @functools.lru_cache(maxsize=8)
@@ -305,19 +363,21 @@ def extract_dense_visual(
         return np.concatenate(feats)[:t]
 
     if mode == "stream":
-        # Per-batch mini-banks, uploaded as each batch is dispatched:
+        # Incremental mini-banks, uploaded as each batch is dispatched:
         # jax's async dispatch lets batch k+1's host->device transfer
-        # overlap batch k's compute, hiding the upload behind the
-        # backbone instead of paying one serial full-bank transfer up
-        # front. Slight duplicate bytes at batch boundaries (adjacent
-        # batches share ~1 clip-span of frames); exact same features.
+        # overlap batch k's compute, and the frames adjacent batches
+        # share ride along as the previous bank's tail (device-to-
+        # device) — every unique frame crosses the link exactly once.
         host_frames = np.asarray(frames)
-        fwd = _jit_gather_full(model, kw_items, tf)
-        banks, invs = _stream_plan(plan.clip_idx, batch_size)
-        for rows, inv in zip(banks, invs):
-            feats.append(fwd(variables,
-                             jnp.asarray(host_frames[rows]),
-                             jnp.asarray(inv)))
+        step = _jit_stream_step(model, kw_items, tf)
+        cap_tail, steps = _stream_plan(plan.clip_idx, batch_size)
+        tail = jnp.zeros((cap_tail,) + host_frames.shape[1:],
+                         host_frames.dtype)
+        for s in steps:
+            f, tail = step(variables,
+                           tail, jnp.asarray(host_frames[s.new_rows]),
+                           jnp.asarray(s.idx), jnp.asarray(s.tail_sel))
+            feats.append(f)
         return np.concatenate(
             [np.asarray(f) for f in feats])[:t]
 
