@@ -31,9 +31,13 @@ import numpy as np
 
 
 def clip_table(n_steps: int, n_samples: int, fps: float = 50.0,
-               interval: float = 1.1, hop: float = 0.2) -> np.ndarray:
+               interval: float = 1.1, hop: float = 0.2,
+               rebase: bool = True) -> np.ndarray:
     """Reference dense geometry: omnivore_frame_indices rows at a 0.2s
-    hop (frame numbers rebased to 0)."""
+    hop. ``rebase=True`` rebases THIS table's min to 0 (single-backbone
+    use); pass ``rebase=False`` and subtract one SHARED origin when
+    several backbones index the same frame bank (per-table mins can
+    differ between samplers, silently misaligning the banks)."""
     from tim_tpu.extract.pipeline import omnivore_frame_indices
 
     span = int(round(interval * fps))
@@ -41,7 +45,7 @@ def clip_table(n_steps: int, n_samples: int, fps: float = 50.0,
                                    10 ** 9, num_samples=n_samples)
             for t in range(n_steps)]
     table = np.stack(rows) - 1
-    return table - table.min()
+    return table - table.min() if rebase else table
 
 
 def bench_one(name, model, variables, frames, plan, batch, iters=3):

@@ -93,8 +93,12 @@ def main():
 
     fps = 50.0
     n_steps = int(round(args.duration / 0.2))
-    table_swin = clip_table(n_steps, 32, fps=fps)
-    table_vit = clip_table(n_steps, 16, fps=fps)
+    # one SHARED origin for both samplers (per-table mins can differ)
+    table_swin = clip_table(n_steps, 32, fps=fps, rebase=False)
+    table_vit = clip_table(n_steps, 16, fps=fps, rebase=False)
+    origin = int(min(table_swin.min(), table_vit.min()))
+    table_swin = table_swin - origin
+    table_vit = table_vit - origin
     n_frames = int(max(table_swin.max(), table_vit.max())) + 1
     frame_transform = None
     if args.uint8:

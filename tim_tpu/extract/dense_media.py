@@ -218,9 +218,13 @@ class _StreamStep:
 def _stream_plan(clip_idx: np.ndarray, batch: int):
     """Incremental per-batch plan for ``mode="stream"``: each batch's
     bank is concat(previous tail carried ON DEVICE, newly uploaded
-    rows), so every unique frame crosses host->device exactly once
-    while transfers still overlap compute. Shapes are padded to the
-    max across batches -> one compiled program. Returns
+    rows), so transfers overlap compute and — for monotone
+    sliding-window tables, the dense serving geometry — every unique
+    frame crosses host->device exactly once. Dedup is only against the
+    IMMEDIATELY PRECEDING batch: a frame gapped across non-adjacent
+    batches (exotic samplers) re-uploads, and padded slots ship one
+    duplicate row each; results stay exact either way. Shapes are
+    padded to the max across batches -> one compiled program. Returns
     (cap_tail, steps)."""
     idx = _pad_rows(clip_idx, batch)
     nb = len(idx) // batch
@@ -274,19 +278,24 @@ def _jit_stream_step(model, kw_items, tf=_ident):
 
 
 @functools.lru_cache(maxsize=8)
-def uint8_normalizer(mean: tuple = (0.485, 0.456, 0.406),
-                     std: tuple = (0.229, 0.224, 0.225),
+def uint8_normalizer(mean: Optional[tuple] = None,
+                     std: Optional[tuple] = None,
                      dtype: str = "bfloat16") -> Callable:
     """``frame_transform`` for uint8 frame banks: /255, ImageNet
     normalize, cast — on device. Ship the bank as uint8 and this halves
     the host->device bytes vs bf16 (4x vs fp32) on the bandwidth-bound
     dense path; the normalize fuses into the backbone's first conv.
     lru-cached so repeated calls return the SAME function object (the
-    jitted appliers key their cache on transform identity)."""
+    jitted appliers key their cache on transform identity). Defaults to
+    the shared clip-preprocessing constants (``extract/pipeline.py``
+    OMNIVORE_MEAN/STD) so serving can never silently diverge from the
+    offline extraction path."""
     import jax.numpy as jnp
 
-    m = np.asarray(mean, np.float32)
-    s = np.asarray(std, np.float32)
+    from tim_tpu.extract.pipeline import OMNIVORE_MEAN, OMNIVORE_STD
+
+    m = OMNIVORE_MEAN if mean is None else np.asarray(mean, np.float32)
+    s = OMNIVORE_STD if std is None else np.asarray(std, np.float32)
 
     def tf(clips):
         x = clips.astype(jnp.float32) / 255.0
@@ -367,7 +376,8 @@ def extract_dense_visual(
         # jax's async dispatch lets batch k+1's host->device transfer
         # overlap batch k's compute, and the frames adjacent batches
         # share ride along as the previous bank's tail (device-to-
-        # device) — every unique frame crosses the link exactly once.
+        # device) — for sliding-window tables each unique frame crosses
+        # the link exactly once (see _stream_plan for the caveats).
         host_frames = np.asarray(frames)
         step = _jit_stream_step(model, kw_items, tf)
         cap_tail, steps = _stream_plan(plan.clip_idx, batch_size)

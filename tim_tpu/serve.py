@@ -365,9 +365,12 @@ class DetectionServer:
         frame pair is patch-embedded once (``extract/dense_media.py`` —
         exact, ~5x less host->device traffic at the reference's 0.2 s
         feature hop, ``make_framepickle.py:37-38``). ``clip_frames``
-        holds 0-BASED row indices into ``frames`` (rebase 1-based
+        holds 0-BASED row indices into ``frames``: rebase 1-based
         sampler output such as ``omnivore_frame_indices`` rows with
-        ``table - table.min()`` first; out-of-range indices raise).
+        ``table - 1`` (NOT per-table ``- table.min()`` — with multiple
+        backbones sharing one bank, each table must rebase against the
+        same origin or their "row 0" silently points at different
+        frames). Out-of-range indices raise.
 
         ``mode="auto"`` uses ``stream`` — per-batch mini-banks whose
         host->device transfers overlap the previous batch's backbone
@@ -397,8 +400,10 @@ class DetectionServer:
         models = (list(visual_model)
                   if isinstance(visual_model, (list, tuple))
                   else [visual_model])
+        # keyed on the VARIABLES' own type: a plain dict is one set of
+        # variables even when the model came as a one-element list
         variables = (list(visual_variables)
-                     if isinstance(visual_model, (list, tuple))
+                     if isinstance(visual_variables, (list, tuple))
                      else [visual_variables])
         tables = (list(clip_frames)
                   if isinstance(clip_frames, (list, tuple))
@@ -417,10 +422,17 @@ class DetectionServer:
                     f"clip_frames must be 0-based indices into frames "
                     f"[0, {len(frames)}); got range "
                     f"[{table.min()}, {table.max()}] — rebase 1-based "
-                    f"sampler rows with `table - table.min()`")
+                    f"sampler rows with `table - 1` (one shared origin "
+                    f"for all backbones)")
             plan = build_clip_plan(table, tubelet=tubelet)
+            rows = plan.unique_frames
+            # skip the fancy-index host copy (hundreds of MB on the
+            # latency path) when the table already touches every frame
+            bank = (frames if len(rows) == len(frames)
+                    and np.array_equal(rows, np.arange(len(frames)))
+                    else frames[rows])
             parts.append(extract_dense_visual(
-                m, var, frames[plan.unique_frames], plan,
+                m, var, bank, plan,
                 batch_size=extract_batch, mode=bmode,
                 frame_transform=frame_transform))
         if len({len(p) for p in parts}) > 1:
